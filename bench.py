@@ -1,0 +1,101 @@
+"""Single-chip benchmark: end-to-end image -> mesh seconds per asset.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Pipeline timed (the reference's canonical Lean path, SURVEY.md section 3.2):
+512^2 image -> u2net matting (320^2) -> fused device preprocess -> DINO ViT +
+16-block backbone -> triplane upsample -> fused 256^3 density grid -> device
+marching cubes -> vertex colors -> compacted host arrays.
+
+Baseline: TripoSR ~0.5 s/image on an NVIDIA A100 (arxiv 2403.02151, via
+PAPERS.md; the reference repo itself publishes no numbers — BASELINE.md).
+``vs_baseline`` is the speedup factor vs that 0.5 s (>1 = faster).
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_SEC_PER_ASSET = 0.5
+RESOLUTION = 256
+THRESHOLD = 25.0
+
+
+def main():
+    from sculptmate_tpu.frontend.matting import U2NetMatting, U2NET_SIZE
+    from sculptmate_tpu.frontend.preprocess import preprocess_batch_device
+    from sculptmate_tpu.systems.tsr import TSR
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev.platform} {getattr(dev, 'device_kind', '')}", file=sys.stderr)
+
+    tsr = TSR(dtype=jnp.bfloat16)
+    matting = U2NetMatting()
+
+    rng = np.random.default_rng(0)
+    raw = jnp.asarray(rng.random((1, 512, 512, 4), np.float32))
+    raw_small = jnp.asarray(rng.random((1, U2NET_SIZE, U2NET_SIZE, 3), np.float32))
+
+    # random weights produce densities ~ exp(x - 1) near 0.37; use a threshold
+    # that actually cuts a surface so MC does real work. The reference's 25.0
+    # presumes trained weights.
+    from sculptmate_tpu.ops.density_grid import (
+        mlp_weights_from_params,
+        query_density_grid,
+    )
+
+    def run_once():
+        # 1. matting (device) -> alpha
+        mask = matting.predict_mask_batch(raw_small)
+        alpha = jax.image.resize(mask[..., None], (1, 512, 512, 1), "linear")
+        rgba = jnp.concatenate([raw[..., :3], alpha], axis=-1)
+        # 2. fused preprocess -> 512^2 cond image
+        cond = preprocess_batch_device(rgba, ratio=0.75, out_size=512)
+        # 3. encode
+        codes = tsr.scene_codes(cond)
+        # 4+5. density grid + MC + colors
+        meshes = tsr.extract_mesh(
+            codes,
+            has_vertex_color=True,
+            resolution=RESOLUTION,
+            threshold=float(_threshold),
+        )
+        return meshes[0]
+
+    # calibrate threshold once so the extraction produces a real surface
+    cond = preprocess_batch_device(raw, ratio=0.75, out_size=512)
+    codes = tsr.scene_codes(cond)
+    w = mlp_weights_from_params(tsr.params["decoder"]["layers"])
+    d = query_density_grid(codes[0], w, tsr.grid_spec(64))
+    _threshold = float(np.asarray(d).mean())
+
+    # warmup (compiles)
+    verts, faces, colors = run_once()
+    print(
+        f"# warmup mesh: {len(verts)} verts {len(faces)} faces", file=sys.stderr
+    )
+
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        verts, faces, colors = run_once()
+    dt = (time.perf_counter() - t0) / n
+
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_image_to_mesh",
+                "value": round(dt, 4),
+                "unit": "sec/asset",
+                "vs_baseline": round(BASELINE_SEC_PER_ASSET / dt, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

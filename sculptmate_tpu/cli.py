@@ -1,0 +1,116 @@
+"""Command-line surface: image in, mesh out.
+
+The reference's user surface is a Blender panel (``GUIPanel.py``); outside
+Blender this CLI is the equivalent one-shot driver:
+
+    sculptmate generate input.png -o out.glb --model lean --resolution 256
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _cmd_generate(args: argparse.Namespace) -> int:
+    import numpy as np
+    from PIL import Image
+    import jax.numpy as jnp
+
+    from sculptmate_tpu.io import write_glb, write_obj
+
+    t0 = time.time()
+    img = Image.open(args.image).convert("RGBA")
+
+    if args.remove_bg:
+        from sculptmate_tpu.frontend import preprocess_image
+
+        processed = preprocess_image(img, ratio=args.ratio)
+        if processed is None:
+            print("[sculptmate] foreground too small after matting", file=sys.stderr)
+            return 1
+    else:
+        processed = img.convert("RGB")
+
+    arr = np.asarray(processed, dtype=np.float32)[None, ..., :3] / 255.0
+
+    if args.model == "lean":
+        from sculptmate_tpu.systems.tsr import TSR
+
+        tsr = TSR(seed=args.seed)
+        codes = tsr.scene_codes(jnp.asarray(arr))
+        t1 = time.time()
+        meshes = tsr.extract_mesh(
+            codes,
+            has_vertex_color=args.texture,
+            resolution=args.resolution,
+            threshold=args.threshold,
+        )
+        verts, faces, colors = meshes[0]
+        t2 = time.time()
+    else:
+        from sculptmate_tpu.systems.sf3d import SF3D
+
+        sf3d = SF3D(seed=args.seed)
+        t1 = time.time()
+        mesh = sf3d.run_image(
+            jnp.asarray(arr),
+            bake_resolution=args.bake_resolution,
+            estimate_illumination=False,
+            vertex_simplification_factor=args.vertex_simplification,
+            enable_texture=args.texture,
+        )
+        verts, faces, colors = mesh["verts"], mesh["faces"], None
+        t2 = time.time()
+
+    if len(verts) == 0:
+        print("[sculptmate] empty mesh (no density above threshold)", file=sys.stderr)
+        return 2
+
+    out = args.output
+    if out.endswith(".obj"):
+        write_obj(out, verts, faces, vertex_colors=colors)
+    else:
+        write_glb(out, verts, faces, vertex_colors=colors)
+    t3 = time.time()
+    print(
+        json.dumps(
+            {
+                "output": out,
+                "verts": int(len(verts)),
+                "faces": int(len(faces)),
+                "encode_s": round(t1 - t0, 3),
+                "extract_s": round(t2 - t1, 3),
+                "total_s": round(t3 - t0, 3),
+            }
+        )
+    )
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="sculptmate", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="image -> 3D mesh")
+    g.add_argument("image")
+    g.add_argument("-o", "--output", default="mesh.glb", help=".glb or .obj")
+    g.add_argument("--model", choices=["lean", "fast"], default="lean")
+    g.add_argument("--resolution", type=int, default=256, help="marching cubes resolution")
+    g.add_argument("--threshold", type=float, default=25.0)
+    g.add_argument("--ratio", type=float, default=0.75, help="foreground framing ratio")
+    g.add_argument("--texture", action="store_true", help="vertex colors (lean) / baked textures (fast)")
+    g.add_argument("--bake-resolution", type=int, default=512)
+    g.add_argument("--vertex-simplification", default="high", choices=["high", "medium", "low"])
+    g.add_argument("--no-remove-bg", dest="remove_bg", action="store_false")
+    g.add_argument("--seed", type=int, default=0)
+    g.set_defaults(func=_cmd_generate)
+
+    args = p.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,109 @@
+"""Background removal (rembg.remove equivalent) on JAX.
+
+Mirrors the reference pipeline ``rembg/bg.py:149-238`` with the u2net session
+recipe (``rembg/sessions/u2net.py:16-46``, ``sessions/base.py:44-69``):
+
+  input -> LANCZOS resize to 320^2 -> /max -> ImageNet mean/std -> u2net ->
+  min-max normalize d0 -> resize mask back (LANCZOS) -> mask as alpha.
+
+The network + normalization run as one jitted program on device; only the
+variable-size boundary resizes use PIL (exactly like the reference). Optional
+post-processing (morphological open + blur + threshold, ``bg.py:97-107``) is
+provided with cv2 for parity.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from sculptmate_tpu.frontend.u2net import U2Net
+
+U2NET_SIZE = 320
+_MEAN = (0.485, 0.456, 0.406)
+_STD = (0.229, 0.224, 0.225)
+
+
+class U2NetMatting:
+    """Holds u2net params and the jitted predictor."""
+
+    def __init__(self, params=None, seed: int = 0, dtype=jnp.float32):
+        self.module = U2Net(dtype=dtype)
+        if params is None:
+            dummy = jnp.zeros((1, U2NET_SIZE, U2NET_SIZE, 3), jnp.float32)
+            variables = self.module.init(jax.random.PRNGKey(seed), dummy)
+            params = variables
+        self.variables = params
+
+        @jax.jit
+        def _predict(variables, img):
+            # img: (B, 320, 320, 3) raw [0,1]-ish; base.py normalizes by /max
+            maxv = jnp.maximum(jnp.max(img, axis=(1, 2, 3), keepdims=True), 1e-6)
+            x = img / maxv
+            x = (x - jnp.asarray(_MEAN)) / jnp.asarray(_STD)
+            d0, _ = self.module.apply(variables, x)
+            pred = jax.nn.sigmoid(d0[..., 0])  # (B, H, W)
+            mn = jnp.min(pred, axis=(1, 2), keepdims=True)
+            mx = jnp.max(pred, axis=(1, 2), keepdims=True)
+            return (pred - mn) / jnp.maximum(mx - mn, 1e-8)
+
+        self._predict = _predict
+
+    def predict_mask(self, image: Image.Image) -> Image.Image:
+        """PIL image -> PIL 'L' mask at original size."""
+        small = image.convert("RGB").resize(
+            (U2NET_SIZE, U2NET_SIZE), Image.Resampling.LANCZOS
+        )
+        arr = np.asarray(small, dtype=np.float32) / 255.0
+        mask = np.asarray(self._predict(self.variables, arr[None]))[0]
+        mask_img = Image.fromarray((mask * 255).astype(np.uint8), mode="L")
+        return mask_img.resize(image.size, Image.Resampling.LANCZOS)
+
+    def predict_mask_batch(self, images: jnp.ndarray) -> jnp.ndarray:
+        """Device path: (B, 320, 320, 3) in [0,1] -> (B, 320, 320) masks."""
+        return self._predict(self.variables, images)
+
+
+@functools.lru_cache(maxsize=1)
+def default_session() -> U2NetMatting:
+    from sculptmate_tpu.runtime.checkpoint import try_load_u2net_params
+
+    params = try_load_u2net_params()
+    return U2NetMatting(params=params)
+
+
+def post_process_mask(mask: np.ndarray) -> np.ndarray:
+    """Morphological open + Gaussian blur + threshold (``bg.py:97-107``)."""
+    import cv2
+
+    kernel = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (3, 3))
+    m = cv2.morphologyEx(mask, cv2.MORPH_OPEN, kernel)
+    m = cv2.GaussianBlur(m, (5, 5), sigmaX=2, sigmaY=2, borderType=cv2.BORDER_DEFAULT)
+    m = np.where(m < 127, 0, 255).astype(np.uint8)
+    return m
+
+
+def remove(
+    image: Image.Image,
+    session: Optional[U2NetMatting] = None,
+    post_process: bool = False,
+    bgcolor=None,
+) -> Image.Image:
+    """rembg.remove equivalent: RGBA cutout with mask as alpha
+    (``bg.py:149-238``, naive_cutout path)."""
+    session = session or default_session()
+    mask = session.predict_mask(image)
+    if post_process:
+        mask = Image.fromarray(post_process_mask(np.asarray(mask)))
+    cutout = image.convert("RGB").copy()
+    cutout.putalpha(mask)
+    if bgcolor is not None:
+        bg = Image.new("RGBA", cutout.size, bgcolor)
+        bg.paste(cutout, mask=cutout.getchannel("A"))
+        cutout = bg
+    return cutout

@@ -1,0 +1,161 @@
+"""Fused triplane NeRF density-grid evaluation.
+
+Replaces the reference's hot loop #2 — 2 048 serial 8 192-point chunks of
+``grid_sample`` + 10-layer MLP over the 256^3 marching-cubes lattice
+(``tsr/utils.py:152-216``, ``tsr/models/nerf_renderer.py:41-91``) — with a
+single XLA program built around two TPU-first observations:
+
+1. **The lattice is separable.** Sampling plane p at every lattice point only
+   ever uses R distinct coordinates per axis, so the bilinear gather becomes
+   two tiny dense interpolation matmuls per plane
+   (``ops/grid_sample.py:sample_triplane_regular_grid``). Zero gathers.
+
+2. **The first MLP layer factorizes.** With features
+   f(i,j,k) = concat(Fxy[j,i], Fxz[k,i], Fyz[k,j]), the first linear layer
+   splits as W1 = [W1a; W1b; W1c] and
+
+       h1[i,j,k] = (Fxy W1a)[i,j] + (Fxz W1b)[i,k] + (Fyz W1c)[j,k] + b1
+
+   i.e. three R^2 x 40 x 64 matmuls + a broadcast add, instead of an
+   R^3 x 120 x 64 matmul. The remaining 9 hidden layers run as batched
+   64x64 matmuls over z-slabs via ``lax.map`` (static trip count).
+
+The arbitrary-point path (``query_triplane_points``) keeps the reference's
+gather semantics for mesh-vertex color queries.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sculptmate_tpu.ops.activations import get_activation
+from sculptmate_tpu.ops.grid_sample import sample_triplane, sample_triplane_regular_grid
+
+
+def mlp_weights_from_params(params: Dict) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Extract [(kernel, bias), ...] in layer order from an MLPStack param tree."""
+    layers = params
+    n_hidden = sum(1 for k in layers if k.startswith("dense_") and k != "dense_out")
+    order = [f"dense_{i}" for i in range(n_hidden)] + ["dense_out"]
+    return [(layers[k]["kernel"], layers[k]["bias"]) for k in order]
+
+
+@dataclasses.dataclass(frozen=True)
+class DensityGridSpec:
+    resolution: int = 256
+    radius: float = 0.87
+    density_activation: str = "exp"
+    density_bias: float = -1.0
+    activation: str = "silu"
+    align_corners: bool = False
+    slab: int = 8  # z-slices evaluated per lax.map step
+    compute_dtype: jnp.dtype = jnp.float32
+
+
+def lattice_coords(resolution: int) -> jnp.ndarray:
+    """Normalized [-1, 1] coords of the reference MC lattice.
+
+    grid_vertices are linspace(0, 1, R) (``tsr/models/isosurface.py:26-39``),
+    scaled to (-radius, radius) then divided by radius inside query_triplane —
+    the radius cancels: g_i = 2 i/(R-1) - 1.
+    """
+    return 2.0 * jnp.arange(resolution, dtype=jnp.float32) / (resolution - 1) - 1.0
+
+
+def _run_hidden(h, weights, act, compute_dtype):
+    """Apply hidden layers 1..n-1 and the output layer to (..., 64) input."""
+    for W, b in weights[1:-1]:
+        h = act(h @ W.astype(compute_dtype) + b.astype(compute_dtype))
+    W, b = weights[-1]
+    return h @ W.astype(compute_dtype) + b.astype(compute_dtype)
+
+
+def query_density_grid(
+    triplane: jnp.ndarray,
+    weights: List[Tuple[jnp.ndarray, jnp.ndarray]],
+    spec: DensityGridSpec,
+) -> jnp.ndarray:
+    """Evaluate activated density on the full R^3 lattice.
+
+    triplane: (3, C, H, W). Returns (R, R, R) float32, indexed [x, y, z] to
+    match the reference's ``verts.reshape(R, R, R)`` ordering
+    (meshgrid indexing="ij", x outermost).
+    """
+    R = spec.resolution
+    cd = spec.compute_dtype
+    act = get_activation(spec.activation)
+    density_act = get_activation(spec.density_activation)
+
+    coords = lattice_coords(R)
+    Fxy, Fxz, Fyz = sample_triplane_regular_grid(
+        triplane, coords, coords, coords, spec.align_corners
+    )  # (C, Nv, Nu): Fxy[c, j, i], Fxz[c, k, i], Fyz[c, k, j]
+
+    W1, b1 = weights[0]
+    C = triplane.shape[1]
+    W1a, W1b, W1c = W1[:C], W1[C : 2 * C], W1[2 * C :]
+
+    # First-layer partial sums, laid out for z-slab streaming.
+    A = jnp.einsum("cji,cn->ijn", Fxy.astype(cd), W1a.astype(cd))  # (R_i, R_j, 64)
+    Bm = jnp.einsum("cki,cn->kin", Fxz.astype(cd), W1b.astype(cd))  # (R_k, R_i, 64)
+    Cm = jnp.einsum("ckj,cn->kjn", Fyz.astype(cd), W1c.astype(cd))  # (R_k, R_j, 64)
+    A = A + b1.astype(cd)
+
+    slab = spec.slab
+    assert R % slab == 0, f"resolution {R} must be divisible by slab {slab}"
+    Bm = Bm.reshape(R // slab, slab, R, -1)
+    Cm = Cm.reshape(R // slab, slab, R, -1)
+
+    def do_slab(args):
+        b_s, c_s = args  # (slab, R, 64) each
+        # h1[i, j, z] = A[i, j] + b_s[z, i] + c_s[z, j]
+        h = (
+            A[None, :, :, :]
+            + b_s[:, :, None, :]
+            + c_s[:, None, :, :]
+        )  # (slab, R_i, R_j, 64)
+        h = act(h)
+        out = _run_hidden(h, weights, act, cd)  # (slab, R, R, 4)
+        return out[..., 0].astype(jnp.float32)  # density channel
+
+    dens = jax.lax.map(do_slab, (Bm, Cm))  # (R//slab, slab, R_i, R_j)
+    dens = dens.reshape(R, R, R)  # [z, x, y]
+    dens = jnp.transpose(dens, (1, 2, 0))  # [x, y, z]
+    return density_act(dens + spec.density_bias)
+
+
+def query_triplane_points(
+    triplane: jnp.ndarray,
+    weights: List[Tuple[jnp.ndarray, jnp.ndarray]],
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    pz: jnp.ndarray,
+    spec: DensityGridSpec,
+) -> Dict[str, jnp.ndarray]:
+    """Arbitrary-point query (mesh-vertex colors): coords are flat (N,)
+    arrays in (-radius, radius) — SoA to avoid TPU (N, 3) tile padding.
+
+    Channels-first throughout: returns density/density_act (N,) and
+    color (3, N).
+    """
+    cd = spec.compute_dtype
+    act = get_activation(spec.activation)
+    r = spec.radius
+    feats = sample_triplane(
+        triplane, px / r, py / r, pz / r, spec.align_corners
+    ).astype(cd)  # (3C, N)
+    h = feats
+    for W, b in weights[:-1]:
+        h = act(W.astype(cd).T @ h + b.astype(cd)[:, None])
+    W, b = weights[-1]
+    out = (W.astype(cd).T @ h + b.astype(cd)[:, None]).astype(jnp.float32)  # (4, N)
+    density = out[0]
+    return {
+        "density": density,
+        "density_act": get_activation(spec.density_activation)(density + spec.density_bias),
+        "color": jax.nn.sigmoid(out[1:4]),
+    }
