@@ -24,19 +24,21 @@ def _cmd_generate(args: argparse.Namespace) -> int:
     t0 = time.time()
     img = Image.open(args.image).convert("RGBA")
 
+    # reference ratios: 0.75 lean / 0.85 + alpha for fast (GUIPanel.py:158-160)
+    ratio = args.ratio if args.ratio is not None else (0.85 if args.model == "fast" else 0.75)
     if args.remove_bg:
         from sculptmate_tpu.frontend import preprocess_image
 
-        processed = preprocess_image(img, ratio=args.ratio)
+        processed = preprocess_image(img, ratio=ratio, use_alpha=args.model == "fast")
         if processed is None:
             print("[sculptmate] foreground too small after matting", file=sys.stderr)
             return 1
     else:
-        processed = img.convert("RGB")
+        processed = img.convert("RGBA" if args.model == "fast" else "RGB")
 
-    arr = np.asarray(processed, dtype=np.float32)[None, ..., :3] / 255.0
-
+    arr = np.asarray(processed, dtype=np.float32)[None] / 255.0
     if args.model == "lean":
+        arr = arr[..., :3]
         from sculptmate_tpu.systems.tsr import TSR
 
         tsr = TSR(seed=args.seed)
@@ -61,9 +63,41 @@ def _cmd_generate(args: argparse.Namespace) -> int:
             estimate_illumination=False,
             vertex_simplification_factor=args.vertex_simplification,
             enable_texture=args.texture,
+            threshold=args.threshold if args.threshold != 25.0 else None,
         )
-        verts, faces, colors = mesh["verts"], mesh["faces"], None
+        if mesh is None:
+            print("[sculptmate] empty mesh (no density above threshold)", file=sys.stderr)
+            return 2
         t2 = time.time()
+        out = args.output
+        from sculptmate_tpu.io import write_glb, write_obj
+
+        if out.endswith(".obj"):
+            write_obj(out, mesh["verts"], mesh["faces"], uvs=mesh["uvs"])
+        else:
+            write_glb(
+                out,
+                mesh["verts"],
+                mesh["faces"],
+                normals=mesh["normals"],
+                uvs=mesh["uvs"],
+                textures=mesh["texture_pngs"],
+            )
+        print(
+            json.dumps(
+                {
+                    "output": out,
+                    "verts": int(len(mesh["verts"])),
+                    "faces": int(len(mesh["faces"])),
+                    "roughness": mesh["roughness"],
+                    "metallic": mesh["metallic"],
+                    "encode_s": round(t1 - t0, 3),
+                    "extract_s": round(t2 - t1, 3),
+                    "total_s": round(time.time() - t0, 3),
+                }
+            )
+        )
+        return 0
 
     if len(verts) == 0:
         print("[sculptmate] empty mesh (no density above threshold)", file=sys.stderr)
@@ -100,7 +134,7 @@ def main(argv=None) -> int:
     g.add_argument("--model", choices=["lean", "fast"], default="lean")
     g.add_argument("--resolution", type=int, default=256, help="marching cubes resolution")
     g.add_argument("--threshold", type=float, default=25.0)
-    g.add_argument("--ratio", type=float, default=0.75, help="foreground framing ratio")
+    g.add_argument("--ratio", type=float, default=None, help="foreground framing ratio (default 0.75 lean / 0.85 fast)")
     g.add_argument("--texture", action="store_true", help="vertex colors (lean) / baked textures (fast)")
     g.add_argument("--bake-resolution", type=int, default=512)
     g.add_argument("--vertex-simplification", default="high", choices=["high", "medium", "low"])

@@ -1,0 +1,88 @@
+"""Mesh decimation: quadric edge collapse (C++), vertex clustering fallback.
+
+Fills two reference roles: the live SF3D vertex-budget reduction
+(gpytoolbox.decimate at ``sf3d/models/mesh.py:195-199``) and the offline
+quadric decimator (``mesh_simplify.py`` — same algorithm family: quadric
+error metrics + threshold-sweep edge collapse with flip prevention).
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Tuple
+
+import numpy as np
+
+from sculptmate_tpu.geometry.native import load_native
+
+
+def decimate(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    target_ratio: float = 0.5,
+    aggressiveness: float = 7.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Reduce face count to ~target_ratio. Returns (verts, faces)."""
+    verts = np.ascontiguousarray(verts, np.float32)
+    faces = np.ascontiguousarray(faces, np.int32)
+    if target_ratio >= 1.0 or len(faces) < 8:
+        return verts, faces
+
+    lib = load_native("quadric_decimate")
+    if lib is not None:
+        return _decimate_native(lib, verts, faces, target_ratio, aggressiveness)
+    return _decimate_cluster(verts, faces, target_ratio)
+
+
+def _decimate_native(lib, verts, faces, target_ratio, aggressiveness):
+    fn = lib.quadric_decimate
+    fn.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+    ]
+    fn.restype = None
+
+    nv, nf = len(verts), len(faces)
+    out_verts = np.empty_like(verts)
+    out_faces = np.empty_like(faces)
+    out_nv = ctypes.c_int64(0)
+    out_nf = ctypes.c_int64(0)
+    fn(
+        verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), nv,
+        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), nf,
+        float(target_ratio), float(aggressiveness),
+        out_verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.byref(out_nv),
+        out_faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.byref(out_nf),
+    )
+    return (
+        out_verts[: out_nv.value].copy(),
+        out_faces[: out_nf.value].astype(np.int64).copy(),
+    )
+
+
+def _decimate_cluster(verts, faces, target_ratio):
+    """Fallback: uniform vertex clustering to roughly hit the budget."""
+    target_verts = max(4, int(len(verts) * target_ratio))
+    res = max(2, int(np.ceil(target_verts ** (1.0 / 3.0)) * 2))
+    lo = verts.min(0)
+    span = np.maximum(verts.max(0) - lo, 1e-12)
+    cell = np.clip(((verts - lo) / span * (res - 1)).astype(np.int64), 0, res - 1)
+    key = (cell[:, 0] * res + cell[:, 1]) * res + cell[:, 2]
+    uniq, inv = np.unique(key, return_inverse=True)
+    new_verts = np.zeros((len(uniq), 3), np.float64)
+    counts = np.bincount(inv, minlength=len(uniq)).astype(np.float64)
+    for c in range(3):
+        new_verts[:, c] = np.bincount(inv, weights=verts[:, c], minlength=len(uniq))
+    new_verts /= counts[:, None]
+    new_faces = inv[faces]
+    good = (
+        (new_faces[:, 0] != new_faces[:, 1])
+        & (new_faces[:, 1] != new_faces[:, 2])
+        & (new_faces[:, 0] != new_faces[:, 2])
+    )
+    return new_verts.astype(np.float32), new_faces[good].astype(np.int64)

@@ -1,0 +1,177 @@
+"""Triangle mesh container: normals, tangents, edges, UV plumbing.
+
+Host-side numpy counterpart of ``sf3d/models/mesh.py:19-277`` (the reference's
+lazy torch version). These run once per generated asset on compacted
+(~10-500K element) arrays after device extraction, so vectorized numpy
+(bincount/add.at) is the right tool; the hot per-texel work stays on device
+(``texture_bake.py``).
+
+Matches reference semantics:
+- vertex normals: area-weighted face-normal splat, zero-normal fallback to
+  +z (``mesh.py:66-92``)
+- vertex tangents: UV-derivative accumulation divided by counts, then
+  Gram-Schmidt vs the normal (``mesh.py:94-139``)
+- ``unwrap_uv``: duplicates vertices per-face and stores flat UVs
+  (``mesh.py:239-263``)
+- ``triangle_remesh``: subdivide-if-upsampling + quadric decimation
+  (gpytoolbox's role at ``mesh.py:175-237``; our decimator lives in
+  ``decimate.py``)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+class Mesh:
+    def __init__(self, v_pos: np.ndarray, t_pos_idx: np.ndarray, **extras):
+        self.v_pos = np.asarray(v_pos, np.float32)
+        self.t_pos_idx = np.asarray(t_pos_idx, np.int64)
+        self._v_nrm: Optional[np.ndarray] = None
+        self._v_tng: Optional[np.ndarray] = None
+        self._v_tex: Optional[np.ndarray] = None
+        self._edges: Optional[np.ndarray] = None
+        self.extras = dict(extras)
+
+    # -- lazy attributes --------------------------------------------------
+    @property
+    def v_nrm(self) -> np.ndarray:
+        if self._v_nrm is None:
+            self._v_nrm = self._compute_vertex_normal()
+        return self._v_nrm
+
+    @property
+    def v_tng(self) -> np.ndarray:
+        if self._v_tng is None:
+            self._v_tng = self._compute_vertex_tangent()
+        return self._v_tng
+
+    @property
+    def v_tex(self) -> np.ndarray:
+        if self._v_tex is None:
+            self.unwrap_uv()
+        return self._v_tex
+
+    @property
+    def edges(self) -> np.ndarray:
+        if self._edges is None:
+            e = np.concatenate(
+                [
+                    self.t_pos_idx[:, [0, 1]],
+                    self.t_pos_idx[:, [1, 2]],
+                    self.t_pos_idx[:, [2, 0]],
+                ]
+            )
+            e = np.sort(e, axis=1)
+            self._edges = np.unique(e, axis=0)
+        return self._edges
+
+    # -- geometry ---------------------------------------------------------
+    def _face_corners(self):
+        return (
+            self.v_pos[self.t_pos_idx[:, 0]],
+            self.v_pos[self.t_pos_idx[:, 1]],
+            self.v_pos[self.t_pos_idx[:, 2]],
+        )
+
+    def _compute_vertex_normal(self) -> np.ndarray:
+        v0, v1, v2 = self._face_corners()
+        fn = np.cross(v1 - v0, v2 - v0)
+        n = np.zeros_like(self.v_pos)
+        for c in range(3):
+            np.add.at(n, self.t_pos_idx[:, c], fn)
+        bad = (n * n).sum(-1) <= 1e-20
+        n[bad] = (0.0, 0.0, 1.0)
+        return n / np.linalg.norm(n, axis=1, keepdims=True)
+
+    def _compute_vertex_tangent(self) -> np.ndarray:
+        idx = self.t_pos_idx
+        pos = [self.v_pos[idx[:, i]] for i in range(3)]
+        tex = [self.v_tex[idx[:, i]] for i in range(3)]
+
+        duv1 = tex[1] - tex[0]
+        duv2 = tex[2] - tex[0]
+        dpos1 = pos[1] - pos[0]
+        dpos2 = pos[2] - pos[0]
+        tng_nom = dpos1 * duv2[:, 1:2] - dpos2 * duv1[:, 1:2]
+        denom = duv1[:, 0:1] * duv2[:, 1:2] - duv1[:, 1:2] * duv2[:, 0:1]
+        tang = tng_nom / np.clip(denom, 1e-6, None)
+
+        tangents = np.zeros_like(self.v_pos)
+        tansum = np.zeros_like(self.v_pos)
+        for c in range(3):
+            np.add.at(tangents, idx[:, c], tang)
+            np.add.at(tansum, idx[:, c], np.ones_like(tang))
+        tangents = tangents / np.maximum(tansum, 1e-12)
+        tangents = tangents / np.maximum(
+            np.linalg.norm(tangents, axis=1, keepdims=True), 1e-12
+        )
+        n = self.v_nrm
+        tangents = tangents - (tangents * n).sum(-1, keepdims=True) * n
+        return tangents / np.maximum(
+            np.linalg.norm(tangents, axis=1, keepdims=True), 1e-12
+        )
+
+    # -- remeshing --------------------------------------------------------
+    def subdivide(self, iters: int = 1) -> "Mesh":
+        """Loop-style midpoint subdivision (positions averaged, no smoothing)
+        — the upsampling role of gpytoolbox.subdivide at ``mesh.py:187-191``."""
+        v, f = self.v_pos, self.t_pos_idx
+        for _ in range(iters):
+            e = np.sort(
+                np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]]), axis=1
+            )
+            uniq, inv = np.unique(e, axis=0, return_inverse=True)
+            mid = (v[uniq[:, 0]] + v[uniq[:, 1]]) / 2
+            mid_id = len(v) + inv.reshape(3, -1)  # (3, F) edge midpoint ids
+            a, b, c = f[:, 0], f[:, 1], f[:, 2]
+            mab, mbc, mca = mid_id[0], mid_id[1], mid_id[2]
+            v = np.concatenate([v, mid])
+            f = np.concatenate(
+                [
+                    np.stack([a, mab, mca], 1),
+                    np.stack([mab, b, mbc], 1),
+                    np.stack([mca, mbc, c], 1),
+                    np.stack([mab, mbc, mca], 1),
+                ]
+            )
+        return Mesh(v, f)
+
+    def triangle_remesh(self, triangle_vertex_count: int = -1) -> "Mesh":
+        """Adjust vertex budget via subdivision and quadric decimation
+        (the gpytoolbox path at ``sf3d/models/mesh.py:175-237``)."""
+        from sculptmate_tpu.geometry.decimate import decimate
+
+        mesh = self
+        if triangle_vertex_count > 0:
+            reduction = triangle_vertex_count / mesh.v_pos.shape[0]
+            if reduction > 1.0:
+                iters = int(np.ceil(np.log(reduction) / np.log(4)))
+                mesh = mesh.subdivide(iters)
+                reduction = triangle_vertex_count / mesh.v_pos.shape[0]
+            v, f = decimate(mesh.v_pos, mesh.t_pos_idx, target_ratio=reduction)
+            mesh = Mesh(v, f)
+        return mesh
+
+    # -- UVs --------------------------------------------------------------
+    def unwrap_uv(self, island_padding: float = 0.02) -> "Mesh":
+        from sculptmate_tpu.geometry.uv_unwrap import unwrap
+
+        uv, indices = unwrap(self.v_pos, self.v_nrm, self.t_pos_idx, island_padding)
+
+        # per-face vertex duplication, as in the reference
+        individual_vertices = self.v_pos[self.t_pos_idx].reshape(-1, 3)
+        individual_faces = np.arange(len(individual_vertices), dtype=np.int64).reshape(
+            -1, 3
+        )
+        uv_flat = uv[indices].reshape(-1, 2)
+
+        self.v_pos = individual_vertices
+        self.t_pos_idx = individual_faces
+        self._v_tex = uv_flat.astype(np.float32)
+        self._v_nrm = self._compute_vertex_normal()
+        self._v_tng = self._compute_vertex_tangent()
+        self._edges = None
+        return self

@@ -172,6 +172,10 @@ class Dinov2Encoder(nn.Module):
 class DINOV2SingleImageTokenizer(nn.Module):
     """ImageNet-normalize + camera-modulated DINOv2; returns (B, C, Nt)."""
 
+    hidden_size: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    intermediate_size: int = 4096
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -180,5 +184,12 @@ class DINOV2SingleImageTokenizer(nn.Module):
         mean = jnp.asarray(IMAGENET_MEAN, images.dtype)
         std = jnp.asarray(IMAGENET_STD, images.dtype)
         x = (images - mean) / std
-        tokens = Dinov2Encoder(dtype=self.dtype, name="dinov2")(x, modulation_cond)
+        tokens = Dinov2Encoder(
+            hidden_size=self.hidden_size,
+            num_layers=self.num_layers,
+            num_heads=self.num_heads,
+            intermediate_size=self.intermediate_size,
+            dtype=self.dtype,
+            name="dinov2",
+        )(x, modulation_cond)
         return jnp.swapaxes(tokens, 1, 2)

@@ -40,18 +40,31 @@ def lin2srgb(x):
     return jnp.where(x <= 0.0031308, 12.92 * x, 1.055 * jnp.power(jnp.maximum(x, 1e-8), 1 / 2.4) - 0.055)
 
 
+def normalize_channel_first(x, eps: float = 1e-12):
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), eps)
+
+
+# registry covers both dispatch tables: tsr/utils.py:234-252 and
+# sf3d/models/network.py:98-136
 _REGISTRY = {
     "none": lambda x: x,
     "linear": lambda x: x,
+    "identity": lambda x: x,
     "exp": jnp.exp,
+    "shifted_exp": lambda x: jnp.exp(x - 1.0),
     "trunc_exp": trunc_exp,
+    "shifted_trunc_exp": lambda x: trunc_exp(x - 1.0),
     "sigmoid": jax.nn.sigmoid,
     "tanh": jnp.tanh,
     "softplus": jax.nn.softplus,
+    "shifted_softplus": lambda x: jax.nn.softplus(x - 1.0),
+    "scale_-11_01": lambda x: x * 0.5 + 0.5,
+    "negative": lambda x: -x,
     "relu": jax.nn.relu,
     "silu": jax.nn.silu,
     "gelu": jax.nn.gelu,
     "normalize_channel_last": normalize_channel_last,
+    "normalize_channel_first": normalize_channel_first,
     "lin2srgb": lin2srgb,
 }
 

@@ -128,6 +128,99 @@ def query_density_grid(
     return density_act(dens + spec.density_bias)
 
 
+def lattice_coords_tets(resolution: int) -> jnp.ndarray:
+    """Normalized [-1, 1] coords of the (res+1)-point marching-tets lattice:
+    points at i/res in [0, 1] scaled to the bbox then /radius -> 2 i/res - 1."""
+    return 2.0 * jnp.arange(resolution + 1, dtype=jnp.float32) / resolution - 1.0
+
+
+def query_grid_multihead(
+    triplane: jnp.ndarray,
+    head_weights: Dict[str, List[Tuple[jnp.ndarray, jnp.ndarray]]],
+    coords: jnp.ndarray,
+    spec: DensityGridSpec,
+) -> Dict[str, List[jnp.ndarray]]:
+    """Multi-head fused lattice query (SF3D MaterialMLP over the tet lattice,
+    ``sf3d/system.py:141-168``): same separable-sampling + factorized-first-
+    layer scheme as ``query_density_grid``, shared across heads (the plane
+    resampling is done once), one independent MLP per head.
+
+    Returns {head: [flat (R^3,) array per output channel]} in x-major order
+    (lin = (i*R + j)*R + k), matching ``marching_tets``'s input convention.
+    Outputs are raw (no output activation, no bias) — callers apply those.
+    """
+    R = coords.shape[0]
+    cd = spec.compute_dtype
+    act = get_activation(spec.activation)
+
+    Fxy, Fxz, Fyz = sample_triplane_regular_grid(
+        triplane, coords, coords, coords, spec.align_corners
+    )
+    C = triplane.shape[1]
+
+    slab = spec.slab
+    assert R % slab == 0, f"lattice size {R} not divisible by slab {slab}"
+
+    partials = {}
+    for name, weights in head_weights.items():
+        W1, b1 = weights[0]
+        A = jnp.einsum("cji,cn->ijn", Fxy.astype(cd), W1[:C].astype(cd)) + b1.astype(cd)
+        Bm = jnp.einsum("cki,cn->kin", Fxz.astype(cd), W1[C : 2 * C].astype(cd))
+        Cm = jnp.einsum("ckj,cn->kjn", Fyz.astype(cd), W1[2 * C :].astype(cd))
+        partials[name] = (
+            A,
+            Bm.reshape(R // slab, slab, R, -1),
+            Cm.reshape(R // slab, slab, R, -1),
+        )
+
+    def do_slab(slabs):
+        outs = {}
+        for name, weights in head_weights.items():
+            A, b_s, c_s = partials[name][0], slabs[name][0], slabs[name][1]
+            h = act(A[None] + b_s[:, :, None, :] + c_s[:, None, :, :])
+            out = _run_hidden(h, weights, act, cd)  # (slab, R, R, K)
+            outs[name] = out.astype(jnp.float32)
+        return outs
+
+    slab_in = {n: (p[1], p[2]) for n, p in partials.items()}
+    res = jax.lax.map(do_slab, slab_in)  # {name: (R//slab, slab, Ri, Rj, K)}
+
+    out: Dict[str, List[jnp.ndarray]] = {}
+    for name, arr in res.items():
+        K = arr.shape[-1]
+        # (z, x, y, K) -> x-major flat per channel
+        arr = arr.reshape(R, R, R, K)
+        arr = jnp.transpose(arr, (1, 2, 0, 3))  # (x, y, z, K)
+        out[name] = [arr[..., k].ravel() for k in range(K)]
+    return out
+
+
+def query_points_multihead(
+    triplane: jnp.ndarray,
+    head_weights: Dict[str, List[Tuple[jnp.ndarray, jnp.ndarray]]],
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    pz: jnp.ndarray,
+    spec: DensityGridSpec,
+) -> Dict[str, jnp.ndarray]:
+    """Scattered multi-head query (texture bake: ``sf3d/system.py:375-377``).
+    Returns {head: (K, N)} channels-first raw outputs."""
+    cd = spec.compute_dtype
+    act = get_activation(spec.activation)
+    r = spec.radius
+    feats = sample_triplane(
+        triplane, px / r, py / r, pz / r, spec.align_corners
+    ).astype(cd)  # (3C, N)
+    out = {}
+    for name, weights in head_weights.items():
+        h = feats
+        for W, b in weights[:-1]:
+            h = act(W.astype(cd).T @ h + b.astype(cd)[:, None])
+        W, b = weights[-1]
+        out[name] = (W.astype(cd).T @ h + b.astype(cd)[:, None]).astype(jnp.float32)
+    return out
+
+
 def query_triplane_points(
     triplane: jnp.ndarray,
     weights: List[Tuple[jnp.ndarray, jnp.ndarray]],

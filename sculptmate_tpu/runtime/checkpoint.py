@@ -61,8 +61,11 @@ def _conv(sd, torch_prefix, tree, flax_path):
 
 
 def _conv_transpose(sd, torch_prefix, tree, flax_path):
-    w = np.asarray(sd[f"{torch_prefix}.weight"])  # (I, O, kh, kw)
-    _set_path(tree, flax_path + ("kernel",), w.transpose(2, 3, 0, 1))
+    # torch (I, O, kh, kw) -> flax (kh, kw, I, O) with spatial flip: flax's
+    # default ConvTranspose (transpose_kernel=False) is a fractional-stride
+    # conv with mirrored taps relative to torch's gradient-of-conv semantics
+    w = np.asarray(sd[f"{torch_prefix}.weight"])
+    _set_path(tree, flax_path + ("kernel",), w.transpose(2, 3, 0, 1)[::-1, ::-1].copy())
     if f"{torch_prefix}.bias" in sd:
         _set_path(tree, flax_path + ("bias",), np.asarray(sd[f"{torch_prefix}.bias"]))
 
@@ -148,6 +151,241 @@ def load_tsr_checkpoint(path: str) -> Dict:
         sd = sd["state_dict"]
     sd = {k: v.numpy() for k, v in sd.items()}
     return convert_tsr_state_dict(sd)
+
+
+# ---------------------------------------------------------------------------
+# SF3D
+
+def convert_sf3d_state_dict(sd: Dict[str, Any]) -> Dict:
+    """Torch SF3D state dict (safetensors) -> flax params for
+    ``systems.sf3d.SF3DModule``. Key layout follows ``sf3d/system.py:96-139``
+    and submodule definitions cited in each model file."""
+    p: Dict = {}
+
+    # --- camera embedder --------------------------------------------------
+    _linear(sd, "camera_embedder.linear", p, ("camera_embedder", "linear"))
+
+    # --- DINOv2 tokenizer -------------------------------------------------
+    dv = ("image_tokenizer", "dinov2")
+    emb = "image_tokenizer.model.embeddings"
+    _set_path(p, dv + ("cls_token",), np.asarray(sd[f"{emb}.cls_token"]))
+    _set_path(p, dv + ("pos_embed",), np.asarray(sd[f"{emb}.position_embeddings"]))
+    _conv(sd, f"{emb}.patch_embeddings.projection", p, dv + ("patch_embed",))
+    n_layers = 1 + max(
+        int(m.group(1))
+        for k in sd
+        if (m := re.match(r"image_tokenizer\.model\.encoder\.layer\.(\d+)\.", k))
+    )
+    for i in range(n_layers):
+        tl = f"image_tokenizer.model.encoder.layer.{i}"
+        fl = dv + (f"layer_{i}",)
+        _norm(sd, f"{tl}.norm1", p, fl + ("norm1",))
+        _norm(sd, f"{tl}.norm2", p, fl + ("norm2",))
+        _linear(sd, f"{tl}.attention.attention.query", p, fl + ("query",))
+        _linear(sd, f"{tl}.attention.attention.key", p, fl + ("key",))
+        _linear(sd, f"{tl}.attention.attention.value", p, fl + ("value",))
+        _linear(sd, f"{tl}.attention.output.dense", p, fl + ("attn_output",))
+        _linear(sd, f"{tl}.mlp.fc1", p, fl + ("mlp_fc1",))
+        _linear(sd, f"{tl}.mlp.fc2", p, fl + ("mlp_fc2",))
+        _set_path(
+            p, fl + ("layer_scale1", "lambda1"),
+            np.asarray(sd[f"{tl}.layer_scale1.lambda1"]),
+        )
+        _set_path(
+            p, fl + ("layer_scale2", "lambda1"),
+            np.asarray(sd[f"{tl}.layer_scale2.lambda1"]),
+        )
+        # AdaLN modulations (registered as norm1_modulation/norm2_modulation)
+        for mod in ("norm1_modulation", "norm2_modulation"):
+            key = f"{tl}.{mod}.linear2"
+            if f"{key}.weight" in sd:
+                _linear(sd, key, p, fl + (mod, "linear2"))
+    _norm(sd, "image_tokenizer.model.layernorm", p, dv + ("layernorm",))
+
+    # --- triplane tokenizer ----------------------------------------------
+    _set_path(p, ("tokenizer", "embeddings"), np.asarray(sd["tokenizer.embeddings"]))
+
+    # --- two-stream backbone ----------------------------------------------
+    bb = ("backbone",)
+    _norm(sd, "backbone.norm_triplane", p, bb + ("norm_triplane",))
+    _linear(sd, "backbone.proj_triplane", p, bb + ("proj_triplane",))
+    if "backbone.norm_image.weight" in sd:
+        _norm(sd, "backbone.norm_image", p, bb + ("norm_image",))
+        _linear(sd, "backbone.proj_image", p, bb + ("proj_image",))
+    _norm(sd, "backbone.norm_latent", p, bb + ("norm_latent",))
+    _linear(sd, "backbone.proj_latent", p, bb + ("proj_latent",))
+    _set_path(p, bb + ("latent_init",), np.asarray(sd["backbone.latent_init"]))
+    _linear(sd, "backbone.proj_out", p, bb + ("proj_out",))
+
+    def convert_cross_attn(prefix, path):
+        for w in ("wq", "wk", "wv", "proj"):
+            _linear(sd, f"{prefix}.{w}", p, path + (w,))
+
+    def convert_ff(prefix, path):
+        _linear(sd, f"{prefix}.net.0.proj", p, path + ("net_0", "proj"))
+        _linear(sd, f"{prefix}.net.2", p, path + ("net_2",))
+
+    def convert_fuse(prefix, path):
+        if f"{prefix}.norm_x.weight" in sd:
+            _norm(sd, f"{prefix}.norm_x", p, path + ("norm_x",))
+        _norm(sd, f"{prefix}.norm_z1", p, path + ("norm_z1",))
+        _norm(sd, f"{prefix}.norm_z2", p, path + ("norm_z2",))
+        convert_cross_attn(f"{prefix}.attn", path + ("attn",))
+        convert_ff(f"{prefix}.ff", path + ("ff",))
+
+    n_blocks = 1 + max(
+        int(m.group(1))
+        for k in sd
+        if (m := re.match(r"backbone\.main_blocks\.(\d+)\.", k))
+    )
+    for i in range(n_blocks):
+        tb = f"backbone.main_blocks.{i}"
+        fb = bb + (f"main_blocks_{i}",)
+        convert_fuse(f"{tb}.fuse_block_in", fb + ("fuse_block_in",))
+        convert_fuse(f"{tb}.fuse_block_out", fb + ("fuse_block_out",))
+        n_basic = 1 + max(
+            int(m.group(1))
+            for k in sd
+            if (m := re.match(rf"backbone\.main_blocks\.{i}\.transformer_block\.(\d+)\.", k))
+        )
+        for j in range(n_basic):
+            tj = f"{tb}.transformer_block.{j}"
+            fj = fb + (f"transformer_block_{j}",)
+            for norm in ("norm1", "norm2", "norm3"):
+                _norm(sd, f"{tj}.{norm}", p, fj + (norm,))
+            convert_cross_attn(f"{tj}.attn1", fj + ("attn1",))
+            convert_cross_attn(f"{tj}.attn2", fj + ("attn2",))
+            convert_ff(f"{tj}.ff", fj + ("ff",))
+
+    # --- pixel-shuffle upsampler -----------------------------------------
+    conv_ids = sorted(
+        int(m.group(1))
+        for k in sd
+        if (m := re.match(r"post_processor\.upsample\.(\d+)\.weight", k))
+    )
+    for n, i in enumerate(conv_ids):
+        _conv(sd, f"post_processor.upsample.{i}", p, ("post_processor", f"conv_{n}"))
+
+    # --- material decoder heads ------------------------------------------
+    head_names = sorted(
+        {m.group(1) for k in sd if (m := re.match(r"decoder\.heads\.([^.]+)\.", k))}
+    )
+    for name in head_names:
+        ids = sorted(
+            int(m.group(1))
+            for k in sd
+            if (m := re.match(rf"decoder\.heads\.{name}\.(\d+)\.weight", k))
+        )
+        for n, i in enumerate(ids):
+            fname = "dense_out" if n == len(ids) - 1 else f"dense_{n}"
+            _linear(sd, f"decoder.heads.{name}.{i}", p, ("decoder", f"head_{name}", fname))
+
+    # --- CLIP image estimator ---------------------------------------------
+    cv = ("image_estimator", "clip")
+    vis = "image_estimator.model.visual"
+    if f"{vis}.conv1.weight" in sd:
+        w = np.asarray(sd[f"{vis}.conv1.weight"])  # (O, 3, k, k), no bias
+        _set_path(p, cv + ("patch_embed", "kernel"), w.transpose(2, 3, 1, 0))
+        _set_path(p, cv + ("class_embedding",), np.asarray(sd[f"{vis}.class_embedding"]))
+        _set_path(
+            p, cv + ("positional_embedding",),
+            np.asarray(sd[f"{vis}.positional_embedding"]),
+        )
+        _norm(sd, f"{vis}.ln_pre", p, cv + ("ln_pre",))
+        _norm(sd, f"{vis}.ln_post", p, cv + ("ln_post",))
+        _set_path(p, cv + ("proj",), np.asarray(sd[f"{vis}.proj"]))
+        n_blk = 1 + max(
+            int(m.group(1))
+            for k in sd
+            if (m := re.match(rf"{re.escape(vis)}\.transformer\.resblocks\.(\d+)\.", k))
+        )
+        for i in range(n_blk):
+            rb = f"{vis}.transformer.resblocks.{i}"
+            fb = cv + (f"block_{i}",)
+            _norm(sd, f"{rb}.ln_1", p, fb + ("ln_1",))
+            _norm(sd, f"{rb}.ln_2", p, fb + ("ln_2",))
+            _set_path(
+                p, fb + ("in_proj", "kernel"),
+                np.asarray(sd[f"{rb}.attn.in_proj_weight"]).T,
+            )
+            _set_path(
+                p, fb + ("in_proj", "bias"), np.asarray(sd[f"{rb}.attn.in_proj_bias"])
+            )
+            _linear(sd, f"{rb}.attn.out_proj", p, fb + ("out_proj",))
+            _linear(sd, f"{rb}.mlp.c_fc", p, fb + ("mlp_fc",))
+            _linear(sd, f"{rb}.mlp.c_proj", p, fb + ("mlp_proj",))
+
+    # estimator heads: ModuleList [shared_seq, d1_seq, d2_seq]
+    est_heads = sorted(
+        {
+            m.group(1)
+            for k in sd
+            if (m := re.match(r"image_estimator\.heads\.([^.]+)\.", k))
+        }
+    )
+    for name in est_heads:
+        shared_ids = sorted(
+            int(m.group(1))
+            for k in sd
+            if (m := re.match(rf"image_estimator\.heads\.{name}\.0\.(\d+)\.weight", k))
+        )
+        for n, i in enumerate(shared_ids):
+            _linear(
+                sd, f"image_estimator.heads.{name}.0.{i}", p,
+                ("image_estimator", f"{name}_shared", f"dense_{n}"),
+            )
+        for pi in (1, 2):
+            _linear(
+                sd, f"image_estimator.heads.{name}.{pi}.0", p,
+                ("image_estimator", f"{name}_p{pi-1}", "dense_0"),
+            )
+            _linear(
+                sd, f"image_estimator.heads.{name}.{pi}.2", p,
+                ("image_estimator", f"{name}_p{pi-1}_out"),
+            )
+
+    # --- global estimator -------------------------------------------------
+    ge_convs = sorted(
+        int(m.group(1))
+        for k in sd
+        if (m := re.match(r"global_estimator\.layers\.(\d+)\.weight", k))
+    )
+    for n, i in enumerate(ge_convs):
+        _conv(sd, f"global_estimator.layers.{i}", p, ("global_estimator", f"conv{n+1}"))
+    ge_heads = sorted(
+        {
+            m.group(1)
+            for k in sd
+            if (m := re.match(r"global_estimator\.heads\.([^.]+)\.", k))
+        }
+    )
+    for name in ge_heads:
+        ids = sorted(
+            int(m.group(1))
+            for k in sd
+            if (m := re.match(rf"global_estimator\.heads\.{name}\.(\d+)\.weight", k))
+        )
+        for n, i in enumerate(ids):
+            if n == len(ids) - 1:
+                _linear(
+                    sd, f"global_estimator.heads.{name}.{i}", p,
+                    ("global_estimator", f"{name}_out"),
+                )
+            else:
+                _linear(
+                    sd, f"global_estimator.heads.{name}.{i}", p,
+                    ("global_estimator", f"{name}_stack", f"dense_{n}"),
+                )
+
+    return p
+
+
+def load_sf3d_checkpoint(path: str) -> Dict:
+    """Load the reference ``model.safetensors`` and convert."""
+    from safetensors.numpy import load_file
+
+    sd = load_file(path)
+    return convert_sf3d_state_dict(sd)
 
 
 # ---------------------------------------------------------------------------

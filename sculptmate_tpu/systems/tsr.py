@@ -195,7 +195,24 @@ class TSR:
     def _colors_jit(self, scene_code, px, py, pz):
         weights = mlp_weights_from_params(self.params["decoder"]["layers"])
         spec = self.grid_spec(2)  # resolution unused for point queries
-        return query_triplane_points(scene_code, weights, px, py, pz, spec)["color"]
+        n = px.shape[0]
+        chunk = min(n, 65536)  # bound gather-tap memory for million-vertex meshes
+
+        def one(args):
+            cx, cy, cz = args
+            return query_triplane_points(scene_code, weights, cx, cy, cz, spec)["color"]
+
+        if n <= chunk:
+            return one((px, py, pz))
+        parts = jax.lax.map(
+            one,
+            (
+                px.reshape(-1, chunk),
+                py.reshape(-1, chunk),
+                pz.reshape(-1, chunk),
+            ),
+        )  # (n/chunk, 3, chunk)
+        return jnp.swapaxes(parts, 0, 1).reshape(3, n)
 
     def extract_mesh(
         self,

@@ -1,0 +1,105 @@
+"""Frontend: preprocessing parity (host path vs reference math, device path
+vs host path), u2net shapes, matting pipeline."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from PIL import Image
+
+
+class _FakeSession:
+    """Stub matting session: alpha = luminance threshold (deterministic)."""
+
+    def predict_mask(self, image):
+        arr = np.asarray(image.convert("L"))
+        mask = np.where(arr > 40, 255, 0).astype(np.uint8)
+        return Image.fromarray(mask, mode="L")
+
+
+def _test_image(size=300):
+    img = np.zeros((size, size, 3), np.uint8)
+    img[80:220, 60:260] = (200, 80, 50)  # off-center rectangle
+    return Image.fromarray(img)
+
+
+def test_preprocess_host_path():
+    from sculptmate_tpu.frontend.preprocess import preprocess_image
+
+    out = preprocess_image(_test_image(), ratio=0.75, session=_FakeSession())
+    assert out is not None
+    assert out.size == (1024, 1024)
+    arr = np.asarray(out).astype(np.float32) / 255.0
+    # corners are the 0.5-gray background
+    assert abs(arr[3, 3].mean() - 0.5) < 0.02
+    # center contains the foreground color
+    c = arr[512, 512]
+    assert c[0] > 0.5 and c[1] < 0.5
+
+
+def test_preprocess_rejects_small_foreground():
+    from sculptmate_tpu.frontend.preprocess import preprocess_image
+
+    img = np.zeros((300, 300, 3), np.uint8)
+    img[100:140, 100:160] = 255  # small blob: padded square < 250
+    out = preprocess_image(Image.fromarray(img), ratio=0.75, session=_FakeSession())
+    assert out is None
+
+
+def test_preprocess_use_alpha_returns_rgba():
+    from sculptmate_tpu.frontend.preprocess import preprocess_image
+
+    out = preprocess_image(
+        _test_image(), ratio=0.85, use_alpha=True, session=_FakeSession()
+    )
+    assert out.mode == "RGBA"
+
+
+def test_device_preprocess_close_to_host(rng):
+    """The fused dynamic-window resample approximates the host crop/pad/
+    LANCZOS chain (sub-pixel centering differences allowed)."""
+    from sculptmate_tpu.frontend.preprocess import (
+        preprocess_device_one,
+        preprocess_image,
+    )
+
+    img = _test_image(256)
+    host = preprocess_image(img, ratio=0.75, session=_FakeSession())
+    host_arr = np.asarray(host).astype(np.float32) / 255.0
+
+    mask = np.asarray(_FakeSession().predict_mask(img)).astype(np.float32) / 255.0
+    rgba = np.concatenate(
+        [np.asarray(img).astype(np.float32) / 255.0, mask[..., None]], axis=-1
+    )
+    dev = np.asarray(preprocess_device_one(jnp.asarray(rgba), ratio=0.75, out_size=1024))
+
+    # compare downsampled to suppress resample-kernel differences
+    h = host_arr.reshape(64, 16, 64, 16, 3).mean((1, 3))
+    d = dev.reshape(64, 16, 64, 16, 3).mean((1, 3))
+    assert np.abs(h - d).mean() < 0.02
+
+
+def test_u2net_shapes(rng):
+    from sculptmate_tpu.frontend.u2net import U2Net
+    import jax
+
+    model = U2Net()
+    x = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    d0, sides = model.apply(variables, x)
+    assert d0.shape == (1, 64, 64, 1)
+    assert len(sides) == 6
+    for s in sides:
+        assert s.shape == (1, 64, 64, 1)
+
+
+def test_matting_remove(rng):
+    """End-to-end remove() with a real (random-weight) u2net."""
+    from sculptmate_tpu.frontend.matting import U2NetMatting, remove
+
+    session = U2NetMatting()
+    img = _test_image(160)
+    out = remove(img, session=session)
+    assert out.mode == "RGBA"
+    assert out.size == img.size
+    alpha = np.asarray(out)[..., 3]
+    assert alpha.min() >= 0 and alpha.max() <= 255

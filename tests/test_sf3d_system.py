@@ -1,0 +1,107 @@
+"""SF3D tiny-config end-to-end: codes -> tets -> decimate -> unwrap -> bake."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sculptmate_tpu.systems.sf3d import SF3D, SF3DConfig
+
+
+@pytest.fixture(scope="module")
+def tiny_sf3d():
+    cfg = SF3DConfig(
+        cond_image_size=56,
+        isosurface_resolution=14,
+        plane_size=8,
+        num_channels=64,
+        num_attention_heads=4,
+        attention_head_dim=16,
+        num_latents=32,
+        num_blocks=1,
+        num_basic_blocks=1,
+        upsample_scale_factor=2,
+        upsample_conv_layers=2,
+        dinov2_hidden_size=64,
+        dinov2_num_layers=2,
+        dinov2_num_heads=4,
+        dinov2_intermediate_size=128,
+        clip_width=64,
+        clip_layers=2,
+        clip_heads=4,
+    )
+    return SF3D(cfg, dtype=jnp.float32)
+
+
+def _threshold_for(sf3d, img):
+    from sculptmate_tpu.ops.density_grid import (
+        lattice_coords_tets,
+        query_grid_multihead,
+    )
+
+    codes, _ = sf3d.get_scene_codes(sf3d.prepare_image(img)[1])
+    heads = sf3d._head_weights(["density"])
+    g = query_grid_multihead(
+        codes[0],
+        heads,
+        lattice_coords_tets(sf3d.config.isosurface_resolution),
+        sf3d.grid_spec(slab=1),
+    )
+    return float(np.exp(np.asarray(g["density"][0]) - 1.0).mean())
+
+
+def test_run_image_textured(tiny_sf3d, rng, tmp_path):
+    img = jnp.asarray(rng.random((1, 56, 56, 4)), jnp.float32)
+    thr = _threshold_for(tiny_sf3d, img)
+    mesh = tiny_sf3d.run_image(img, bake_resolution=64, threshold=thr)
+    assert mesh is not None
+    nv = len(mesh["verts"])
+    assert nv > 0
+    assert mesh["faces"].max() < nv
+    assert mesh["uvs"].shape == (nv, 2)
+    assert mesh["uvs"].min() >= 0 and mesh["uvs"].max() <= 1
+    assert 0.0 <= mesh["roughness"] <= 1.0
+    assert 0.0 <= mesh["metallic"] <= 1.0
+    assert set(mesh["texture_pngs"]) == {"baseColor", "normal", "metallicRoughness"}
+    # normals unit length
+    n = np.linalg.norm(mesh["normals"], axis=1)
+    np.testing.assert_allclose(n, 1.0, atol=1e-4)
+
+    from sculptmate_tpu.io import write_glb
+
+    glb = tmp_path / "sf3d.glb"
+    write_glb(
+        str(glb),
+        mesh["verts"],
+        mesh["faces"],
+        normals=mesh["normals"],
+        uvs=mesh["uvs"],
+        textures=mesh["texture_pngs"],
+    )
+    assert glb.stat().st_size > 1000
+
+
+def test_run_image_no_texture(tiny_sf3d, rng):
+    img = jnp.asarray(rng.random((1, 56, 56, 4)), jnp.float32)
+    thr = _threshold_for(tiny_sf3d, img)
+    mesh = tiny_sf3d.run_image(img, bake_resolution=64, enable_texture=False, threshold=thr)
+    assert mesh is not None and mesh["texture_pngs"] is None
+
+
+def test_empty_mesh_returns_none(tiny_sf3d, rng):
+    img = jnp.asarray(rng.random((1, 56, 56, 4)), jnp.float32)
+    mesh = tiny_sf3d.run_image(img, bake_resolution=64, threshold=1e9)
+    assert mesh is None
+
+
+def test_vertex_budget(tiny_sf3d, rng):
+    img = jnp.asarray(rng.random((1, 56, 56, 4)), jnp.float32)
+    thr = _threshold_for(tiny_sf3d, img)
+    hi = tiny_sf3d.run_image(
+        img, bake_resolution=64, enable_texture=False,
+        vertex_simplification_factor="high", threshold=thr,
+    )
+    lo = tiny_sf3d.run_image(
+        img, bake_resolution=64, enable_texture=False,
+        vertex_simplification_factor="low", threshold=thr,
+    )
+    assert len(lo["verts"]) < len(hi["verts"])
