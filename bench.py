@@ -66,12 +66,15 @@ def main():
         )
         return meshes[0]
 
-    # calibrate threshold once so the extraction produces a real surface
+    # calibrate threshold once so the extraction produces a realistically
+    # sized surface (random-init weights give a noise-like field; the mean
+    # level cuts a pathological ~12M-face surface, the 99th percentile cuts
+    # a compact one comparable to a real object)
     cond = preprocess_batch_device(raw, ratio=0.75, out_size=512)
     codes = tsr.scene_codes(cond)
     w = mlp_weights_from_params(tsr.params["decoder"]["layers"])
     d = query_density_grid(codes[0], w, tsr.grid_spec(64))
-    _threshold = float(np.asarray(d).mean())
+    _threshold = float(np.quantile(np.asarray(d), 0.99))
 
     # warmup (compiles)
     verts, faces, colors = run_once()

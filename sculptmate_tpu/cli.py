@@ -124,6 +124,56 @@ def _cmd_generate(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_decimate(args: argparse.Namespace) -> int:
+    """Standalone quadric decimation (the reference's ``mesh_simplify.py``
+    offline tool, minus the hardcoded paths)."""
+    import numpy as np
+
+    from sculptmate_tpu.geometry.decimate import decimate
+    from sculptmate_tpu.io import read_obj, write_obj
+
+    t0 = time.time()
+    verts, faces = read_obj(args.input)
+    v2, f2 = decimate(
+        verts, faces, target_ratio=args.ratio, aggressiveness=args.aggressiveness
+    )
+    write_obj(args.output, v2, f2)
+    print(
+        json.dumps(
+            {
+                "input_faces": int(len(faces)),
+                "output_faces": int(len(f2)),
+                "removed_pct": round(100 * (1 - len(f2) / max(len(faces), 1)), 1),
+                "seconds": round(time.time() - t0, 2),
+            }
+        )
+    )
+    return 0
+
+
+def _cmd_render(args: argparse.Namespace) -> int:
+    """Render spherical novel views of a generated scene (the reference's
+    dormant volume-render path, nerf_renderer.py:93-172)."""
+    import numpy as np
+    from PIL import Image
+    import jax.numpy as jnp
+
+    from sculptmate_tpu.systems.tsr import TSR
+
+    img = Image.open(args.image).convert("RGB")
+    arr = np.asarray(img, dtype=np.float32)[None] / 255.0
+    tsr = TSR(seed=args.seed)
+    codes = tsr.scene_codes(jnp.asarray(arr))
+    views = tsr.render_views(
+        codes, n_views=args.n_views, height=args.size, width=args.size
+    )[0]
+    for i, view in enumerate(views):
+        out = args.output.replace("{}", str(i))
+        Image.fromarray((np.clip(view, 0, 1) * 255).astype(np.uint8)).save(out)
+    print(json.dumps({"views": len(views), "pattern": args.output}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="sculptmate", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -141,6 +191,21 @@ def main(argv=None) -> int:
     g.add_argument("--no-remove-bg", dest="remove_bg", action="store_false")
     g.add_argument("--seed", type=int, default=0)
     g.set_defaults(func=_cmd_generate)
+
+    d = sub.add_parser("decimate", help="quadric mesh decimation (OBJ in/out)")
+    d.add_argument("input")
+    d.add_argument("output")
+    d.add_argument("--ratio", type=float, default=0.5, help="target face ratio")
+    d.add_argument("--aggressiveness", type=float, default=7.0)
+    d.set_defaults(func=_cmd_decimate)
+
+    r = sub.add_parser("render", help="render spherical novel views (lean model)")
+    r.add_argument("image")
+    r.add_argument("-o", "--output", default="view_{}.png", help="pattern with {}")
+    r.add_argument("--n-views", type=int, default=8)
+    r.add_argument("--size", type=int, default=256)
+    r.add_argument("--seed", type=int, default=0)
+    r.set_defaults(func=_cmd_render)
 
     args = p.parse_args(argv)
     return args.func(args)

@@ -1,1 +1,1 @@
-from sculptmate_tpu.io.export import write_obj, write_glb  # noqa: F401
+from sculptmate_tpu.io.export import write_obj, write_glb, read_obj  # noqa: F401

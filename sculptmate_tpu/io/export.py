@@ -48,6 +48,23 @@ def write_obj(
                 f.write(f"f {a} {b} {c}\n")
 
 
+def read_obj(path: str):
+    """Minimal OBJ reader (positions + triangle faces; polygons are fan-
+    triangulated). Counterpart of ``mesh_simplify.py:519-606``'s loader."""
+    verts = []
+    faces = []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("v "):
+                parts = line.split()
+                verts.append([float(parts[1]), float(parts[2]), float(parts[3])])
+            elif line.startswith("f "):
+                idx = [int(p.split("/")[0]) - 1 for p in line.split()[1:]]
+                for k in range(1, len(idx) - 1):
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    return np.asarray(verts, np.float32), np.asarray(faces, np.int64)
+
+
 def _pad4(b: bytes, fill: bytes = b"\x00") -> bytes:
     return b + fill * ((4 - len(b) % 4) % 4)
 

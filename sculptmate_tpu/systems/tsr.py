@@ -169,8 +169,10 @@ class TSR:
         return self._forward(self.params, images)
 
     # -- stage 2: scene code -> mesh ----------------------------------
-    def grid_spec(self, resolution: int, slab: int = 8, compute_dtype=jnp.float32):
+    def grid_spec(self, resolution: int, slab: int = 0, compute_dtype=jnp.float32):
         c = self.config
+        if slab <= 0:  # largest divisor of the resolution <= 8
+            slab = max(s for s in range(1, 9) if resolution % s == 0)
         return DensityGridSpec(
             resolution=resolution,
             radius=c.radius,
@@ -213,6 +215,79 @@ class TSR:
             ),
         )  # (n/chunk, 3, chunk)
         return jnp.swapaxes(parts, 0, 1).reshape(3, n)
+
+    # -- novel-view rendering (reference's spherical render path:
+    # -- nerf_renderer.py:93-172 + get_spherical_cameras) ----------------
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def _render_rays_jit(self, scene_code, rays_o, rays_d, num_samples):
+        weights = mlp_weights_from_params(self.params["decoder"]["layers"])
+        spec = self.grid_spec(2)
+        radius = self.config.radius
+
+        shape = rays_o.shape[:-1]
+        o = rays_o.reshape(-1, 3)
+        d = rays_d.reshape(-1, 3)
+        from sculptmate_tpu.ops.rays import rays_intersect_bbox
+
+        t_near, t_far, valid = rays_intersect_bbox(o, d, radius)
+
+        t_vals = jnp.linspace(0.0, 1.0, num_samples + 1)
+        t_mid = (t_vals[:-1] + t_vals[1:]) / 2.0
+        z = t_near[:, None] * (1 - t_mid)[None] + t_far[:, None] * t_mid[None]
+
+        # sample positions, SoA per component
+        px = o[:, 0:1] + z * d[:, 0:1]
+        py = o[:, 1:2] + z * d[:, 1:2]
+        pz = o[:, 2:3] + z * d[:, 2:3]
+        out = query_triplane_points(
+            scene_code, weights, px.ravel(), py.ravel(), pz.ravel(), spec
+        )
+        sigma = out["density_act"].reshape(z.shape)
+        color = out["color"].reshape(3, *z.shape)
+
+        delta = (t_vals[1:] - t_vals[:-1])[None]
+        alpha = 1.0 - jnp.exp(-delta * sigma)
+        accum = jnp.concatenate(
+            [
+                jnp.ones_like(alpha[:, :1]),
+                jnp.cumprod(1.0 - alpha[:, :-1] + 1e-10, axis=-1),
+            ],
+            axis=-1,
+        )
+        w = alpha * accum
+        rgb = jnp.einsum("ns,cns->nc", w, color)
+        opacity = w.sum(-1)
+        rgb = jnp.where(valid[:, None], rgb, 0.0)
+        opacity = jnp.where(valid, opacity, 0.0)
+        rgb = rgb + (1.0 - opacity[:, None])  # white background
+        return rgb.reshape(*shape, 3)
+
+    def render_views(
+        self,
+        scene_codes,
+        n_views: int = 8,
+        elevation_deg: float = 0.0,
+        camera_distance: float = 1.9,
+        fovy_deg: float = 40.0,
+        height: int = 256,
+        width: int = 256,
+        num_samples: int = 128,
+    ):
+        """Render spherical novel views per scene code; returns a list of
+        (n_views, H, W, 3) float arrays."""
+        from sculptmate_tpu.ops.rays import get_spherical_cameras
+
+        rays_o, rays_d = get_spherical_cameras(
+            n_views, elevation_deg, camera_distance, fovy_deg, height, width
+        )
+        out = []
+        for code in scene_codes:
+            views = [
+                np.asarray(self._render_rays_jit(code, rays_o[v], rays_d[v], num_samples))
+                for v in range(n_views)
+            ]
+            out.append(np.stack(views))
+        return out
 
     def extract_mesh(
         self,
