@@ -21,4 +21,19 @@ Public entry points mirror the reference facades
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent compilation cache: first compiles of the full-size programs take
+# minutes (especially through remote-compile TPU setups); cache them on disk.
+try:  # pragma: no cover - environment dependent
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("SCULPTMATE_JAX_CACHE", "/tmp/sculptmate_jax_cache"),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
+
 from sculptmate_tpu.config import ConfigDict, load_yaml_config  # noqa: F401

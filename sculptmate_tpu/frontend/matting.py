@@ -90,12 +90,20 @@ def post_process_mask(mask: np.ndarray) -> np.ndarray:
 
 def remove(
     image: Image.Image,
-    session: Optional[U2NetMatting] = None,
+    session=None,
+    session_name: Optional[str] = None,
     post_process: bool = False,
     bgcolor=None,
 ) -> Image.Image:
     """rembg.remove equivalent: RGBA cutout with mask as alpha
-    (``bg.py:149-238``, naive_cutout path)."""
+    (``bg.py:149-238``, naive_cutout path). ``session`` may be any object
+    with ``predict_mask`` (a ``U2NetMatting`` or a registry session from
+    ``frontend.sessions.new_session``); ``session_name`` selects from the
+    registry."""
+    if session is None and session_name is not None:
+        from sculptmate_tpu.frontend.sessions import new_session
+
+        session = new_session(session_name)
     session = session or default_session()
     mask = session.predict_mask(image)
     if post_process:

@@ -114,64 +114,69 @@ class RSU4F(nn.Module):
         return hxin + h1d
 
 
-class U2Net(nn.Module):
-    """Full U^2-Net (matches u2net.onnx layout for weight conversion)."""
+# (encoder depth/mid/out, decoder depth/mid/out) per stage; "F" = dilated RSU4F
+FULL_CONFIG = {
+    "enc": [(7, 32, 64), (6, 32, 128), (5, 64, 256), (4, 128, 512), ("F", 256, 512), ("F", 256, 512)],
+    "dec": [("F", 256, 512), (4, 128, 256), (5, 64, 128), (6, 32, 64), (7, 16, 64)],
+}
+# u2netp: uniform small widths (the rembg u2netp.onnx variant)
+SMALL_CONFIG = {
+    "enc": [(7, 16, 64), (6, 16, 64), (5, 16, 64), (4, 16, 64), ("F", 16, 64), ("F", 16, 64)],
+    "dec": [("F", 16, 64), (4, 16, 64), (5, 16, 64), (6, 16, 64), (7, 16, 64)],
+}
 
+
+def _make_rsu(spec, name, dtype):
+    depth, mid, out = spec
+    if depth == "F":
+        return RSU4F(mid, out, dtype=dtype, name=name)
+    return RSU(depth, mid, out, dtype=dtype, name=name)
+
+
+class U2Net(nn.Module):
+    """U^2-Net; ``variant`` selects full (u2net.onnx) or small (u2netp)
+    widths, ``out_channels`` > 1 gives the cloth-seg class maps."""
+
+    variant: str = "full"
+    out_channels: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, Sequence[jnp.ndarray]]:
-        """x: (B, H, W, 3) normalized. Returns (d0, [d1..d6]) logits (B,H,W,1)."""
-        hx1 = RSU(7, 32, 64, dtype=self.dtype, name="stage1")(x)
-        hx = _maxpool2(hx1)
-        hx2 = RSU(6, 32, 128, dtype=self.dtype, name="stage2")(hx)
-        hx = _maxpool2(hx2)
-        hx3 = RSU(5, 64, 256, dtype=self.dtype, name="stage3")(hx)
-        hx = _maxpool2(hx3)
-        hx4 = RSU(4, 128, 512, dtype=self.dtype, name="stage4")(hx)
-        hx = _maxpool2(hx4)
-        hx5 = RSU4F(256, 512, dtype=self.dtype, name="stage5")(hx)
-        hx = _maxpool2(hx5)
-        hx6 = RSU4F(256, 512, dtype=self.dtype, name="stage6")(hx)
-        hx6up = _upsample_like(hx6, hx5)
+        """x: (B, H, W, 3) normalized. Returns (d0, [d1..d6]) logits
+        (B, H, W, out_channels)."""
+        cfg = FULL_CONFIG if self.variant == "full" else SMALL_CONFIG
 
-        hx5d = RSU4F(256, 512, dtype=self.dtype, name="stage5d")(
-            jnp.concatenate([hx6up, hx5], axis=-1)
-        )
-        hx5dup = _upsample_like(hx5d, hx4)
-        hx4d = RSU(4, 128, 256, dtype=self.dtype, name="stage4d")(
-            jnp.concatenate([hx5dup, hx4], axis=-1)
-        )
-        hx4dup = _upsample_like(hx4d, hx3)
-        hx3d = RSU(5, 64, 128, dtype=self.dtype, name="stage3d")(
-            jnp.concatenate([hx4dup, hx3], axis=-1)
-        )
-        hx3dup = _upsample_like(hx3d, hx2)
-        hx2d = RSU(6, 32, 64, dtype=self.dtype, name="stage2d")(
-            jnp.concatenate([hx3dup, hx2], axis=-1)
-        )
-        hx2dup = _upsample_like(hx2d, hx1)
-        hx1d = RSU(7, 16, 64, dtype=self.dtype, name="stage1d")(
-            jnp.concatenate([hx2dup, hx1], axis=-1)
-        )
+        enc = []
+        h = x
+        for i, spec in enumerate(cfg["enc"]):
+            h = _make_rsu(spec, f"stage{i + 1}", self.dtype)(h)
+            enc.append(h)
+            if i != len(cfg["enc"]) - 1:
+                h = _maxpool2(h)
 
-        d1 = nn.Conv(1, (3, 3), padding=1, dtype=self.dtype, name="side1")(hx1d)
-        d2 = _upsample_like(
-            nn.Conv(1, (3, 3), padding=1, dtype=self.dtype, name="side2")(hx2d), x
+        # decoder with skip concats
+        dec = [enc[-1]]  # hx6
+        h = enc[-1]
+        for i, spec in enumerate(cfg["dec"]):
+            skip = enc[len(cfg["enc"]) - 2 - i]
+            h = _upsample_like(h, skip)
+            h = _make_rsu(spec, f"stage{len(cfg['dec']) - i}d", self.dtype)(
+                jnp.concatenate([h, skip], axis=-1)
+            )
+            dec.append(h)
+
+        # side heads: d1 from the last decoder stage ... d6 from the bottom
+        sides = []
+        for i, feat in enumerate(reversed(dec)):  # [stage1d, stage2d, ..., hx6]
+            d = nn.Conv(
+                self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                name=f"side{i + 1}",
+            )(feat)
+            if d.shape[1] != x.shape[1]:
+                d = _upsample_like(d, x)
+            sides.append(d)
+        d0 = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="outconv")(
+            jnp.concatenate(sides, axis=-1)
         )
-        d3 = _upsample_like(
-            nn.Conv(1, (3, 3), padding=1, dtype=self.dtype, name="side3")(hx3d), x
-        )
-        d4 = _upsample_like(
-            nn.Conv(1, (3, 3), padding=1, dtype=self.dtype, name="side4")(hx4d), x
-        )
-        d5 = _upsample_like(
-            nn.Conv(1, (3, 3), padding=1, dtype=self.dtype, name="side5")(hx5d), x
-        )
-        d6 = _upsample_like(
-            nn.Conv(1, (3, 3), padding=1, dtype=self.dtype, name="side6")(hx6), x
-        )
-        d0 = nn.Conv(1, (1, 1), dtype=self.dtype, name="outconv")(
-            jnp.concatenate([d1, d2, d3, d4, d5, d6], axis=-1)
-        )
-        return d0, (d1, d2, d3, d4, d5, d6)
+        return d0, tuple(sides)
