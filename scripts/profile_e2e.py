@@ -50,7 +50,7 @@ def main():
     d64 = t("calib grid 64^3", lambda: query_density_grid(codes[0], w, spec64))
     thr = float(np.quantile(np.asarray(d64), 0.99))
 
-    mv, mf = 32 * 256 * 256, 64 * 256 * 256
+    mv, mf = 8 * 256 * 256, 16 * 256 * 256
     ext = t(
         "extract jit (grid+MC)",
         lambda: tsr._extract_jit(codes[0], 256, thr, mv, mf),
@@ -58,14 +58,11 @@ def main():
     nv, nf = int(ext.num_verts), int(ext.num_faces)
     print(f"{'mesh size':28s} {nv} verts {nf} faces")
 
+    from sculptmate_tpu.geometry.packing import fetch_mesh
+
     t0 = time.perf_counter()
-    verts = np.stack(
-        [np.asarray(ext.vx[:nv]), np.asarray(ext.vy[:nv]), np.asarray(ext.vz[:nv])], -1
-    )
-    faces = np.stack(
-        [np.asarray(ext.fa[:nf]), np.asarray(ext.fb[:nf]), np.asarray(ext.fc[:nf])], -1
-    )
-    print(f"{'D2H verts+faces':28s} {(time.perf_counter() - t0) * 1e3:8.1f} ms")
+    verts, faces = fetch_mesh(ext, nv, nf)
+    print(f"{'D2H packed verts+faces':28s} {(time.perf_counter() - t0) * 1e3:8.1f} ms")
 
     bucket = 1 << max(12, int(nv - 1).bit_length())
     comps = []
@@ -77,6 +74,12 @@ def main():
     t0 = time.perf_counter()
     _ = np.asarray(colors)[:, :nv]
     print(f"{'D2H colors':28s} {(time.perf_counter() - t0) * 1e3:8.1f} ms")
+
+    # full public API path for comparison
+    t0 = time.perf_counter()
+    meshes = tsr.extract_mesh(codes, has_vertex_color=True, resolution=256, threshold=thr)
+    print(f"{'extract_mesh() total':28s} {(time.perf_counter() - t0) * 1e3:8.1f} ms "
+          f"({len(meshes[0][0])} verts)")
 
 
 if __name__ == "__main__":

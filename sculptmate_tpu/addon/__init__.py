@@ -16,12 +16,14 @@ bl_info = {
 
 
 def register():  # pragma: no cover - requires Blender
-    from sculptmate_tpu.addon import panel
+    from sculptmate_tpu.addon import panel, preferences
 
+    preferences.register()
     panel.register()
 
 
 def unregister():  # pragma: no cover - requires Blender
-    from sculptmate_tpu.addon import panel
+    from sculptmate_tpu.addon import panel, preferences
 
     panel.unregister()
+    preferences.unregister()

@@ -1,26 +1,25 @@
-"""Device marching cubes with fixed-capacity outputs.
+"""Device marching cubes, active-block formulation with fixed-capacity outputs.
 
 Replaces the reference's host skimage path (``tsr/models/isosurface.py:41-54``,
-GPU->CPU roundtrip of the full 256^3 grid) with an on-device XLA program:
+GPU->CPU roundtrip of the full 256^3 grid) with an on-device XLA program.
 
-- every lattice edge with a sign change of ``level`` emits exactly one vertex
-  (linear interpolation along the edge) — vertex existence is a vectorized
-  sign test over three (R,R,R) edge grids, compacted with size-bounded
-  ``jnp.nonzero``;
-- vertex ids come from a cumsum over the cut mask;
-- each cell looks its 8-bit corner-sign case up in the generated tables
-  (``mc_tables.py``) and emits up to ``maxtri`` triangles whose local edge
-  ids are converted to global edge ids arithmetically (no neighbor walks).
+Structure (v2 — compaction cost proportional to the *surface*, not volume):
 
-TPU layout note: every large intermediate is a flat (N,) array — structure of
-arrays, one per vertex/triangle component. TPU tiles the last two dims to
-(8, 128), so a (N, 3) int32 array is physically padded to (N, 128): 42x the
-memory. The first version shipped that way and a 256^3 extraction tried to
-allocate 18.4 GB; SoA brings it to the expected few hundred MB.
+1. Cut-edge masks and cell case ids are cheap fused elementwise passes over
+   the full grid; the global vertex-id field is one cumsum (~40 ms at 256^3).
+2. The grid is tiled into 8^3 blocks. Only blocks that contain cut edges /
+   emitting cells survive a tiny block-level compaction (32^3 entries).
+3. Per-surviving-block element data (masks, vids, tri slots) is row-gathered
+   and compacted with scatters over the ~4M-element active set instead of
+   jnp.nonzero over the 50-83M-element full set — the v1 bottleneck
+   (2 x ~0.5 s of nonzero scans at 256^3, regardless of surface size).
 
-Outputs are fixed-capacity (``max_verts`` / ``max_faces``) with counts, so the
-whole thing jits with static shapes; ``marching_cubes_host`` slices to the
-true sizes on the host. Capacity overflow is reported, not silently truncated.
+Everything large stays structure-of-arrays ((N,) flat buffers) — TPU tiled
+layouts pad (N, 3) arrays 42x (the original 18 GB OOM).
+
+Outputs are fixed-capacity (``max_verts`` / ``max_faces``) with exact counts;
+``marching_cubes_host`` slices on the host and retries on overflow (capacity
+overflow is detected, never silently truncated).
 
 Conventions: ``level > 0`` is inside; vertices are in lattice index coords
 (divide by R-1 for the reference's [0, 1] range); faces are wound so normals
@@ -36,6 +35,16 @@ import numpy as np
 
 from sculptmate_tpu.geometry.mc_tables import EDGE_AXIS, EDGE_OFFSET, build_tables
 
+BS = 8  # block side
+
+
+def default_block_capacity(R: int, max_verts: int) -> int:
+    # a surface crosses O((R/8)^2) of the (R/8)^3 blocks; x12 covers highly
+    # convoluted fields, the host wrapper retries on overflow. Every capacity
+    # unit costs 512 gathered/scattered elements downstream - keep it tight.
+    NB = (R // BS) ** 3
+    return int(min(NB, max(2048, 12 * (R // BS) ** 2)))
+
 
 class MCResult(NamedTuple):
     # structure-of-arrays: (max_verts,) / (max_faces,) flat components
@@ -47,6 +56,8 @@ class MCResult(NamedTuple):
     fc: jnp.ndarray
     num_verts: jnp.ndarray  # () int32
     num_faces: jnp.ndarray  # () int32
+    num_active_blocks: jnp.ndarray  # () int32 (overflow check vs block cap)
+    num_active_cells: jnp.ndarray  # () int32 (overflow check vs max_faces//2)
 
     @property
     def verts(self):
@@ -57,22 +68,49 @@ class MCResult(NamedTuple):
         return jnp.stack([self.fa, self.fb, self.fc], axis=-1)
 
 
-def marching_cubes(level: jnp.ndarray, max_verts: int, max_faces: int) -> MCResult:
-    """level: (R, R, R) float32. Jittable, static output shapes."""
+def _block_local_offsets(R: int) -> np.ndarray:
+    """Flat offsets of the 8^3 block cells within the (R,R,R) flat layout."""
+    oi, oj, ok = np.meshgrid(np.arange(BS), np.arange(BS), np.arange(BS), indexing="ij")
+    return ((oi * R + oj) * R + ok).reshape(-1).astype(np.int32)
+
+
+def _block_bases(R: int) -> np.ndarray:
+    """Flat base index of each block, ordered by block id."""
+    nb = R // BS
+    bi, bj, bk = np.meshgrid(np.arange(nb), np.arange(nb), np.arange(nb), indexing="ij")
+    return ((bi * R + bj) * R + bk).reshape(-1).astype(np.int32) * BS
+
+
+def _compact_blocks(block_mask_flat: jnp.ndarray, cap: int):
+    """Tiny compaction over the block grid. Returns (ids (cap,), count)."""
+    n = block_mask_flat.shape[0]
+    (ids,) = jnp.nonzero(block_mask_flat, size=cap, fill_value=n)
+    count = jnp.sum(block_mask_flat.astype(jnp.int32))
+    return ids, count
+
+
+def marching_cubes(level: jnp.ndarray, max_verts: int, max_faces: int,
+                   block_capacity: int = 0) -> MCResult:
+    """level: (R, R, R) float32, R divisible by 8. Jittable, static shapes."""
     R = level.shape[0]
+    assert R % BS == 0, f"resolution {R} must be divisible by {BS}"
     n3 = R * R * R
+    nb = R // BS
+    NB = nb * nb * nb
+    if block_capacity <= 0:
+        block_capacity = default_block_capacity(R, max_verts)
+
     tri_table_np, tri_count_np, maxtri = build_tables()
-    # per-corner tables: (256 * maxtri,) each, indexed by case * maxtri + slot
-    corner_tables = [
-        jnp.asarray(tri_table_np[:, :, c].reshape(-1)) for c in range(3)
-    ]
-    tri_count = jnp.asarray(tri_count_np)
+    corner_tables = [jnp.asarray(tri_table_np[:, :, c].reshape(-1)) for c in range(3)]
+    tri_count_tab = jnp.asarray(tri_count_np)
     edge_axis = jnp.asarray(EDGE_AXIS)
     edge_off = [jnp.asarray(EDGE_OFFSET[:, d]) for d in range(3)]
+    local_off = jnp.asarray(_block_local_offsets(R))  # (512,)
+    block_base = jnp.asarray(_block_bases(R))  # (NB,)
 
     inside = level > 0
 
-    # -- cut-edge masks (flat, one per axis) ------------------------------
+    # -- cut-edge masks (elementwise) -------------------------------------
     def cut_mask(axis: int) -> jnp.ndarray:
         m = jnp.zeros((R, R, R), bool)
         if axis == 0:
@@ -81,15 +119,43 @@ def marching_cubes(level: jnp.ndarray, max_verts: int, max_faces: int) -> MCResu
             m = m.at[:, : R - 1].set(inside[:, :-1] != inside[:, 1:])
         else:
             m = m.at[:, :, : R - 1].set(inside[:, :, :-1] != inside[:, :, 1:])
-        return m.ravel()
+        return m
 
-    mask_flat = jnp.concatenate([cut_mask(0), cut_mask(1), cut_mask(2)])
+    masks = [cut_mask(a) for a in range(3)]
+    mask_flat = jnp.concatenate([m.ravel() for m in masks])  # (3 n3,)
 
-    # -- vertices ---------------------------------------------------------
+    # -- global vertex ids -------------------------------------------------
     vid = jnp.cumsum(mask_flat.astype(jnp.int32)) - 1
     num_verts = vid[-1] + 1
 
-    (edge_idx,) = jnp.nonzero(mask_flat, size=max_verts, fill_value=3 * n3)
+    # -- active vertex blocks: (3, NB) any-reduce -------------------------
+    def block_any(m):
+        return (
+            m.reshape(nb, BS, nb, BS, nb, BS).any(axis=(1, 3, 5)).ravel()
+        )
+
+    vblock_mask = jnp.concatenate([block_any(m) for m in masks])  # (3 NB,)
+    vblk_ids, n_vblocks = _compact_blocks(vblock_mask, block_capacity)
+    vblk_valid = vblk_ids < 3 * NB
+    vb_safe = jnp.where(vblk_valid, vblk_ids, 0)
+    vb_axis = vb_safe // NB
+    vb_base = block_base[vb_safe % NB]
+
+    # gather per-block edge data: global flat edge index (A, 512)
+    gidx = vb_axis[:, None] * n3 + vb_base[:, None] + local_off[None, :]
+    gmask = mask_flat[gidx] & vblk_valid[:, None]
+    gvid = vid[gidx]
+
+    # scatter-compact the cut-edge indices into the vertex buffer
+    sink = max_verts
+    dst = jnp.where(gmask, gvid, sink)
+    edge_idx = (
+        jnp.full((max_verts,), 3 * n3, jnp.int32)
+        .at[dst.ravel()]
+        .set(gidx.ravel().astype(jnp.int32), mode="drop")
+    )
+
+    # -- vertex positions --------------------------------------------------
     valid_v = edge_idx < 3 * n3
     safe_idx = jnp.where(valid_v, edge_idx, 0)
     axis = safe_idx // n3
@@ -103,43 +169,103 @@ def marching_cubes(level: jnp.ndarray, max_verts: int, max_faces: int) -> MCResu
     step = jnp.where(axis == 0, R * R, jnp.where(axis == 1, R, 1))
     l1 = level_flat[jnp.minimum(lin + step, n3 - 1)]
     denom = l0 - l1
-    t = l0 / jnp.where(denom == 0, 1.0, denom)
-    t = jnp.clip(t, 0.0, 1.0)
+    t = jnp.clip(l0 / jnp.where(denom == 0, 1.0, denom), 0.0, 1.0)
 
-    fi = i.astype(jnp.float32)
-    fj = j.astype(jnp.float32)
-    fk = k.astype(jnp.float32)
-    vx = jnp.where(valid_v, fi + t * (axis == 0), 0.0)
-    vy = jnp.where(valid_v, fj + t * (axis == 1), 0.0)
-    vz = jnp.where(valid_v, fk + t * (axis == 2), 0.0)
+    vx = jnp.where(valid_v, i.astype(jnp.float32) + t * (axis == 0), 0.0)
+    vy = jnp.where(valid_v, j.astype(jnp.float32) + t * (axis == 1), 0.0)
+    vz = jnp.where(valid_v, k.astype(jnp.float32) + t * (axis == 2), 0.0)
 
-    # -- faces ------------------------------------------------------------
-    Rc = R - 1
+    # -- cell cases (elementwise over the (R-1)^3 cell grid, padded to R^3) -
     ins = inside.astype(jnp.int32)
-    case = jnp.zeros((Rc, Rc, Rc), jnp.int32)
+    pad = jnp.pad(ins, ((0, 1), (0, 1), (0, 1)))  # cells at i=R-1 see outside 0
+    case = jnp.zeros((R, R, R), jnp.int32)
     for c in range(8):
         ox, oy, oz = c & 1, (c >> 1) & 1, (c >> 2) & 1
-        case = case + (ins[ox : ox + Rc, oy : oy + Rc, oz : oz + Rc] << c)
+        case = case + (pad[ox : ox + R, oy : oy + R, oz : oz + R] << c)
+    # cells on the +boundary are invalid: mask their triangle count to 0
+    ival = jnp.arange(R)
+    cell_valid = (
+        (ival[:, None, None] < R - 1)
+        & (ival[None, :, None] < R - 1)
+        & (ival[None, None, :] < R - 1)
+    )
+    ntri = jnp.where(cell_valid, tri_count_tab[case], 0)  # (R, R, R)
+    ntri_flat = ntri.ravel()
     case_flat = case.ravel()
 
-    ntri = tri_count[case_flat]
+    # block-level cumulative face offsets
+    tri_in_block = ntri.reshape(nb, BS, nb, BS, nb, BS).sum(axis=(1, 3, 5)).ravel()
+    num_faces = jnp.sum(tri_in_block)
+    fblock_mask = tri_in_block > 0
+    fblk_ids, n_fblocks = _compact_blocks(fblock_mask, block_capacity)
+    fblk_valid = fblk_ids < NB
+    fb_safe = jnp.where(fblk_valid, fblk_ids, 0)
+
+    # exclusive cumsum of faces per block, then gather per active block
+    block_face_off = jnp.cumsum(tri_in_block) - tri_in_block  # (NB,)
+    fb_off = block_face_off[fb_safe]  # (A,)
+    fb_base = block_base[fb_safe]
+
+    cidx = fb_base[:, None] + local_off[None, :]  # (A, 512) cell flat idx
+    cnt = ntri_flat[cidx] * fblk_valid[:, None]  # (A, 512)
+    # rank of each cell's first face within its block
+    local_rank = jnp.cumsum(cnt.reshape(cnt.shape[0], -1), axis=1) - cnt
+    first_face = fb_off[:, None] + local_rank  # (A, 512)
+
+    # two-stage face compaction: (1) compact ACTIVE CELLS (cells emitting
+    # >= 1 tri, <= num_faces of them), (2) expand <= maxtri slots per active
+    # cell. A one-stage scatter over (A, 512, maxtri) slots costs 5x the
+    # memory traffic for nothing - most slots are empty.
+    cell_cap = max(1, max_faces // 2)
+    active_cell = cnt > 0  # (A, 512)
+    cell_rank_local = (
+        jnp.cumsum(active_cell.reshape(active_cell.shape[0], -1), axis=1)
+        - active_cell
+    )
+    cells_per_block = active_cell.sum(axis=1)  # (A,)
+    cell_base = jnp.cumsum(cells_per_block) - cells_per_block
+    num_active_cells = cells_per_block.sum()
+    cdst = jnp.where(active_cell, cell_base[:, None] + cell_rank_local, cell_cap)
+    cell_idx_c = (
+        jnp.full((cell_cap,), -1, jnp.int32)
+        .at[cdst.ravel()]
+        .set(cidx.ravel().astype(jnp.int32), mode="drop")
+    )
+    first_face_c = (
+        jnp.zeros((cell_cap,), jnp.int32)
+        .at[cdst.ravel()]
+        .set(first_face.ravel().astype(jnp.int32), mode="drop")
+    )
+
+    cvalid = cell_idx_c >= 0
+    ccell = jnp.where(cvalid, cell_idx_c, 0)
+    ccnt = jnp.where(cvalid, ntri_flat[ccell], 0)  # (cell_cap,)
+
+    fsink = max_faces
     slot_ids = jnp.arange(maxtri, dtype=jnp.int32)
-    slot_mask = (slot_ids[None, :] < ntri[:, None]).ravel()
-    num_faces = jnp.sum(slot_mask.astype(jnp.int32))
+    fdst = jnp.where(
+        slot_ids[None, :] < ccnt[:, None],
+        first_face_c[:, None] + slot_ids[None, :],
+        fsink,
+    )  # (cell_cap, maxtri)
+    fsrc = (ccell[:, None] * maxtri + slot_ids[None, :]).astype(jnp.int32)
+    tri_key = (
+        jnp.full((max_faces,), -1, jnp.int32)
+        .at[fdst.ravel()]
+        .set(fsrc.ravel(), mode="drop")
+    )
 
-    (tri_idx,) = jnp.nonzero(slot_mask, size=max_faces, fill_value=slot_mask.size)
-    valid_f = tri_idx < slot_mask.size
-    safe_tri = jnp.where(valid_f, tri_idx, 0)
-    cell = safe_tri // maxtri
-    slot = safe_tri % maxtri
-
-    ci = cell // (Rc * Rc)
-    cj = (cell // Rc) % Rc
-    ck = cell % Rc
-    tkey = case_flat[cell] * maxtri + slot  # (max_faces,)
+    valid_f = tri_key >= 0
+    tk = jnp.where(valid_f, tri_key, 0)
+    cell = tk // maxtri
+    slot = tk % maxtri
+    ci = cell // (R * R)
+    cj = (cell // R) % R
+    ck = cell % R
+    tkey = case_flat[cell] * maxtri + slot
 
     def face_corner(c: int) -> jnp.ndarray:
-        le = jnp.maximum(corner_tables[c][tkey], 0)  # local edge id 0..11
+        le = jnp.maximum(corner_tables[c][tkey], 0)
         ax = edge_axis[le]
         gi = ci + edge_off[0][le]
         gj = cj + edge_off[1][le]
@@ -149,30 +275,43 @@ def marching_cubes(level: jnp.ndarray, max_verts: int, max_faces: int) -> MCResu
 
     fa, fb, fc = face_corner(0), face_corner(1), face_corner(2)
 
-    return MCResult(vx, vy, vz, fa, fb, fc, num_verts, num_faces)
+    n_blocks = jnp.maximum(n_vblocks, n_fblocks)
+    return MCResult(
+        vx, vy, vz, fa, fb, fc, num_verts, num_faces, n_blocks, num_active_cells
+    )
 
 
 def marching_cubes_host(
     level, max_verts: int = 0, max_faces: int = 0
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Convenience wrapper: run on device, slice to true counts on host.
-
-    Default capacities scale with the expected O(R^2) surface size; if the
-    surface overflows, the call retries with doubled capacity.
-    """
+    """Convenience wrapper: run on device, slice to true counts on host,
+    retrying with doubled capacities (verts/faces/blocks) on overflow."""
     import jax
 
     R = int(level.shape[0])
+    if R % BS:
+        # pad to a block multiple with empty space
+        pad = BS - R % BS
+        level = jnp.pad(jnp.asarray(level), ((0, pad),) * 3, constant_values=-1.0)
+        R = R + pad
     if max_verts <= 0:
         max_verts = 32 * R * R
     if max_faces <= 0:
         max_faces = 64 * R * R
 
-    mc_jit = jax.jit(marching_cubes, static_argnums=(1, 2))
+    mc_jit = jax.jit(marching_cubes, static_argnums=(1, 2, 3))
+    block_cap = default_block_capacity(R, max_verts)
     while True:
-        res = mc_jit(level, max_verts, max_faces)
+        res = mc_jit(level, max_verts, max_faces, block_cap)
         nv = int(res.num_verts)
         nf = int(res.num_faces)
+        nblk = int(res.num_active_blocks)
+        if nblk > block_cap:
+            block_cap = 2 * max(block_cap, nblk)
+            continue
+        if int(res.num_active_cells) > max_faces // 2:
+            max_faces *= 2
+            continue
         if nv <= max_verts and nf <= max_faces:
             break
         max_verts = max(max_verts * 2, nv)

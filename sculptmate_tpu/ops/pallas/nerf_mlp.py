@@ -1,15 +1,16 @@
-"""Pallas TPU kernel: fused NeRF-MLP density evaluation over the lattice.
+"""Pallas TPU kernel: fused NeRF-MLP hidden-layer chain.
 
-The XLA path of ``ops/density_grid.query_density_grid`` streams (slab, R, R,
-64) activations through HBM between each of the 10 MLP layers (~20 GB of
-traffic at 256^3). This kernel keeps the whole layer chain in VMEM: each grid
-step loads one (BI, R, 64) block of the factorized first-layer partials,
-composes h1 = A[i,j] + B[k,i] + C[k,j] in-register, runs all hidden layers +
-the density output row as back-to-back MXU matmuls, and writes only the
-(BI, R) density block back.
+The XLA path of ``ops/density_grid.query_density_grid`` streams (N, 64)
+activations through HBM between each of the 9 hidden layers + output
+(~40 GB of traffic at 256^3). This kernel runs the whole chain per point
+block inside VMEM: grid over flat point chunks, 10 back-to-back MXU matmuls,
+density-only writeback.
 
-Grid: (z = R, i-blocks = R / BI). HBM traffic drops to one re-read of A per
-z-slice (~2 GB at 256^3 in bf16) plus the output volume.
+The factorized first layer (h1 = A[i,j] + B[k,i] + C[k,j]) stays in XLA —
+one fused broadcast-add writing h1 once (~2 GB bf16 at 256^3) — because
+Mosaic currently miscompiles the in-kernel (1,B,H)->(B,1,H) broadcasts.
+Activations are evaluated in f32 (Mosaic rejects f32->bf16 broadcast inside
+transcendentals); matmul operands stay in the compute dtype.
 """
 
 from __future__ import annotations
@@ -19,77 +20,54 @@ from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(a_ref, b_ref, c_ref, w_ref, bias_ref, wd_ref, out_ref, *, n_hidden, act):
-    BI = a_ref.shape[0]
-    R = a_ref.shape[1]
-    # h1 = A[i,j] + B[k,i] + C[k,j]  (b_ref: (1, BI, 64), c_ref: (1, R, 64))
-    h = (
-        a_ref[:, :, :]
-        + b_ref[0][:, None, :]
-        + c_ref[0][None, :, :]
-    ).reshape(BI * R, -1)
-    h = act(h)
+def _kernel(h_ref, w_ref, bias_ref, wd_ref, out_ref, *, n_hidden, act):
+    dtype = h_ref.dtype
+    h = act(h_ref[:, :].astype(jnp.float32))
     for layer in range(n_hidden):
-        w = w_ref[layer]
-        b = bias_ref[layer]
-        h = act(
-            jnp.dot(h, w, preferred_element_type=jnp.float32) + b[None, :]
-        ).astype(h.dtype)
-    # density output row: (64, 1) -> (BI*R,)
-    d = jnp.dot(h, wd_ref[:, :], preferred_element_type=jnp.float32)
-    out_ref[0] = d[:, 0].reshape(BI, R).astype(out_ref.dtype)
+        z = jnp.dot(
+            h.astype(dtype), w_ref[layer], preferred_element_type=jnp.float32
+        )
+        h = act(z + bias_ref[layer][None, :].astype(jnp.float32))
+    d = jnp.dot(h.astype(dtype), wd_ref[:, :], preferred_element_type=jnp.float32)
+    out_ref[:] = d[:, 0].astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("activation", "block_i", "interpret"))
-def fused_density_grid(
-    A: jnp.ndarray,  # (R, R, 64) [i, j] first-layer partial (bias folded in)
-    Bm: jnp.ndarray,  # (R, R, 64) [k, i]
-    Cm: jnp.ndarray,  # (R, R, 64) [k, j]
-    Whid: jnp.ndarray,  # (n_hidden, 64, 64)
-    bhid: jnp.ndarray,  # (n_hidden, 64)
-    wd: jnp.ndarray,  # (64, 1) density output column (+ its bias added after)
+@functools.partial(jax.jit, static_argnames=("activation", "block", "interpret"))
+def fused_mlp_density(
+    h1: jnp.ndarray,  # (N, H) pre-activation first-layer output
+    Whid: jnp.ndarray,  # (n_hidden, H, H)
+    bhid: jnp.ndarray,  # (n_hidden, H)
+    wd: jnp.ndarray,  # (H, 1) density output column (bias added by caller)
     activation: str = "silu",
-    block_i: int = 8,
+    block: int = 2048,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Returns density (R_k, R_i, R_j) float32 (z-major, pre-activation,
-    without the output bias)."""
+    """Returns raw density (N,) float32 (no output bias/activation)."""
     from sculptmate_tpu.ops.activations import get_activation
 
     act = get_activation(activation)
-    R = A.shape[0]
+    N, H = h1.shape
+    assert N % block == 0, (N, block)
     n_hidden = Whid.shape[0]
-    H = A.shape[-1]
-
-    grid = (R, R // block_i)
     kernel = functools.partial(_kernel, n_hidden=n_hidden, act=act)
 
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((R, R, R), jnp.float32),
-        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((N,), jnp.float32),
+        grid=(N // block,),
         in_specs=[
-            pl.BlockSpec(
-                (block_i, R, H), lambda k, i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, block_i, H), lambda k, i: (k, i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((1, R, H), lambda k, i: (k, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, block_i, R), lambda k, i: (k, i, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=pl.BlockSpec((block,), lambda i: (i,), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(A, Bm, Cm, Whid, bhid, wd)
+    )(h1, Whid, bhid, wd)
 
 
 def density_grid_pallas(
@@ -115,17 +93,20 @@ def density_grid_pallas(
     Bm = jnp.einsum("cki,cn->kin", Fxz.astype(cd), W1[C : 2 * C].astype(cd))
     Cm = jnp.einsum("ckj,cn->kjn", Fyz.astype(cd), W1[2 * C :].astype(cd))
 
+    # h1[k, i, j] — one fused broadcast-add materialization
+    h1 = (
+        A[None, :, :, :] + Bm[:, :, None, :] + Cm[:, None, :, :]
+    ).reshape(R * R * R, -1)
+
     Whid = jnp.stack([w for w, _ in weights[1:-1]]).astype(cd)
     bhid = jnp.stack([b for _, b in weights[1:-1]]).astype(cd)
     Wout, bout = weights[-1]
     wd = Wout[:, 0:1].astype(cd)
 
     interpret = jax.devices()[0].platform != "tpu"
-    block_i = max(b for b in (8, 4, 2, 1) if R % b == 0)
-    dens = fused_density_grid(
-        A, Bm, Cm, Whid, bhid, wd,
-        activation=spec.activation, block_i=block_i, interpret=interpret,
-    )  # (k, i, j) pre-bias density
-    dens = jnp.transpose(dens, (1, 2, 0))  # [x, y, z]
+    dens = fused_mlp_density(
+        h1, Whid, bhid, wd, activation=spec.activation, interpret=interpret
+    ).reshape(R, R, R)
+    dens = jnp.transpose(dens, (1, 2, 0))  # [k,i,j] -> [x,y,z]
     density_act = get_activation(spec.density_activation)
     return density_act(dens + bout[0] + spec.density_bias)

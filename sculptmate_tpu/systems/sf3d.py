@@ -369,15 +369,10 @@ class SF3D:
             )
             nv, nf = int(mt.num_verts), int(mt.num_faces)
 
-        verts01 = np.stack(
-            [np.asarray(mt.vx[:nv]), np.asarray(mt.vy[:nv]), np.asarray(mt.vz[:nv])],
-            axis=-1,
-        )
+        from sculptmate_tpu.geometry.packing import fetch_mesh
+
+        verts01, faces = fetch_mesh(mt, nv, nf)
         verts = verts01 * (2 * c.radius) - c.radius  # [0,1] -> bbox
-        faces = np.stack(
-            [np.asarray(mt.fa[:nf]), np.asarray(mt.fb[:nf]), np.asarray(mt.fc[:nf])],
-            axis=-1,
-        )
         mesh = Mesh(verts, faces)
 
         # vertex budget (sf3d/system.py:346-351; the reference compares

@@ -304,9 +304,11 @@ class TSR:
         (``tsr/system.py:185-189``).
         """
         if max_verts <= 0:
-            max_verts = 32 * resolution * resolution
+            # ~2x a typical object's surface at this resolution; capacity
+            # directly scales gather/scatter cost, and overflow auto-retries
+            max_verts = 8 * resolution * resolution
         if max_faces <= 0:
-            max_faces = 64 * resolution * resolution
+            max_faces = 16 * resolution * resolution
         out = []
         for scene_code in scene_codes:
             res = self._extract_jit(
@@ -322,28 +324,13 @@ class TSR:
                     max(2 * max_faces, nf),
                 )
                 nv, nf = int(res.num_verts), int(res.num_faces)
-            # assemble SoA components on host (device (N,3) layouts are
-            # tile-padded 42x on TPU — see geometry/marching_cubes.py)
-            verts_idx = np.stack(
-                [
-                    np.asarray(res.vx[:nv]),
-                    np.asarray(res.vy[:nv]),
-                    np.asarray(res.vz[:nv]),
-                ],
-                axis=-1,
-            )
+            from sculptmate_tpu.geometry.packing import fetch_mesh
+
+            verts_idx, faces = fetch_mesh(res, nv, nf)
             # lattice index -> [0,1] -> (-radius, radius)
             verts_world = (verts_idx / (resolution - 1.0)) * (
                 2 * self.config.radius
             ) - self.config.radius
-            faces = np.stack(
-                [
-                    np.asarray(res.fa[:nf]),
-                    np.asarray(res.fb[:nf]),
-                    np.asarray(res.fc[:nf]),
-                ],
-                axis=-1,
-            )
             colors = None
             if has_vertex_color and nv > 0:
                 # pad to a power-of-two bucket so the color-query program is

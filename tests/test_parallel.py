@@ -36,11 +36,11 @@ def test_asset_farm_dp8(tiny_tsr, rng):
     mesh = make_mesh((8,), ("dp",))
     farm = AssetFarm(tiny_tsr, mesh)
     images = jnp.asarray(rng.random((8, 32, 32, 3)), jnp.float32)
-    res = farm.generate_batch(images, resolution=12, threshold=0.36)
+    res = farm.generate_batch(images, resolution=16, threshold=0.36)
     assert res.num_verts.shape == (8,)
     # every asset produced a bounded mesh
     assert (res.num_verts >= 0).all()
-    assert int(res.num_verts.max()) <= 8 * 12 * 12
+    assert int(res.num_verts.max()) <= 8 * 16 * 16
 
 
 def test_sharded_density_grid_sp(tiny_tsr, rng):
