@@ -48,16 +48,16 @@ def main():
         query_density_grid,
     )
 
-    def run_once():
+    def make_cond():
         # 1. matting (device) -> alpha
         mask = matting.predict_mask_batch(raw_small)
         alpha = jax.image.resize(mask[..., None], (1, 512, 512, 1), "linear")
         rgba = jnp.concatenate([raw[..., :3], alpha], axis=-1)
         # 2. fused preprocess -> 512^2 cond image
-        cond = preprocess_batch_device(rgba, ratio=0.75, out_size=512)
-        # 3. encode
-        codes = tsr.scene_codes(cond)
-        # 4+5. density grid + MC + colors
+        return preprocess_batch_device(rgba, ratio=0.75, out_size=512)
+
+    def run_once():
+        codes = tsr.scene_codes(make_cond())
         meshes = tsr.extract_mesh(
             codes,
             has_vertex_color=True,
@@ -66,12 +66,11 @@ def main():
         )
         return meshes[0]
 
-    # calibrate threshold once so the extraction produces a realistically
-    # sized surface (random-init weights give a noise-like field; the mean
-    # level cuts a pathological ~12M-face surface, the 99th percentile cuts
-    # a compact one comparable to a real object)
-    cond = preprocess_batch_device(raw, ratio=0.75, out_size=512)
-    codes = tsr.scene_codes(cond)
+    # calibrate threshold on the SAME conditioning pipeline so the timed
+    # extraction cuts a realistically sized surface (random-init weights give
+    # a noise-like field; the mean level cuts a pathological ~12M-face
+    # surface, the 99th percentile a compact one comparable to a real object)
+    codes = tsr.scene_codes(make_cond())
     w = mlp_weights_from_params(tsr.params["decoder"]["layers"])
     d = query_density_grid(codes[0], w, tsr.grid_spec(64))
     _threshold = float(np.quantile(np.asarray(d), 0.99))
@@ -81,6 +80,8 @@ def main():
     print(
         f"# warmup mesh: {len(verts)} verts {len(faces)} faces", file=sys.stderr
     )
+    if len(verts) == 0:
+        print("# WARNING: empty benchmark mesh - threshold miscalibrated", file=sys.stderr)
 
     n = 5
     t0 = time.perf_counter()

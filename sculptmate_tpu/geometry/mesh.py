@@ -139,9 +139,18 @@ class Mesh:
             )
         return Mesh(v, f)
 
-    def triangle_remesh(self, triangle_vertex_count: int = -1) -> "Mesh":
-        """Adjust vertex budget via subdivision and quadric decimation
-        (the gpytoolbox path at ``sf3d/models/mesh.py:175-237``)."""
+    def triangle_remesh(
+        self,
+        triangle_vertex_count: int = -1,
+        triangle_average_edge_length_multiplier: float = None,
+        triangle_remesh_steps: int = 10,
+        isotropic: bool = False,
+    ) -> "Mesh":
+        """Adjust vertex budget via subdivision + quadric decimation, with
+        optional isotropic remeshing — the gpytoolbox decimate/remesh_botsch
+        path at ``sf3d/models/mesh.py:175-237``. ``isotropic=False`` skips the
+        remesh pass (decimation output is already clean; the native remesher
+        is available for quality-sensitive callers)."""
         from sculptmate_tpu.geometry.decimate import decimate
 
         mesh = self
@@ -153,7 +162,28 @@ class Mesh:
                 reduction = triangle_vertex_count / mesh.v_pos.shape[0]
             v, f = decimate(mesh.v_pos, mesh.t_pos_idx, target_ratio=reduction)
             mesh = Mesh(v, f)
+        if isotropic or triangle_average_edge_length_multiplier is not None:
+            from sculptmate_tpu.geometry.remesh import isotropic_remesh
+
+            h = None
+            if triangle_average_edge_length_multiplier is not None:
+                e = mesh.edges
+                h = float(
+                    np.linalg.norm(
+                        mesh.v_pos[e[:, 0]] - mesh.v_pos[e[:, 1]], axis=1
+                    ).mean()
+                    * triangle_average_edge_length_multiplier
+                )
+            v, f = isotropic_remesh(
+                mesh.v_pos, mesh.t_pos_idx, h, triangle_remesh_steps
+            )
+            mesh = Mesh(v, f)
         return mesh
+
+    def quad_remesh(self, quad_vertex_count: int = -1, **_kwargs) -> "Mesh":
+        """Quad remeshing is stubbed in the reference too (pynim commented
+        out, ``sf3d/models/mesh.py:141-173``) — returns the mesh unchanged."""
+        return Mesh(self.v_pos, self.t_pos_idx)
 
     # -- UVs --------------------------------------------------------------
     def unwrap_uv(self, island_padding: float = 0.02) -> "Mesh":

@@ -277,6 +277,29 @@ class SF3D:
         dx, dy, dz = grids["vertex_offset"]
         return marching_tets(sdf, dx, dy, dz, res, max_verts, max_faces)
 
+    @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+    def _extract_packed_jit(self, scene_code, threshold, max_verts, max_faces):
+        """Extraction packed into one (3, W) f32 buffer (positions scaled to
+        the bbox, bit-cast faces, bit-cast counts) — one D2H round trip; see
+        systems/tsr.py:_extract_packed_jit for why."""
+        mt = self._extract_jit(scene_code, threshold, max_verts, max_faces)
+        c = self.config
+        verts = jnp.stack(
+            [
+                mt.vx * (2 * c.radius) - c.radius,
+                mt.vy * (2 * c.radius) - c.radius,
+                mt.vz * (2 * c.radius) - c.radius,
+            ]
+        )
+        faces_bits = jax.lax.bitcast_convert_type(
+            jnp.stack([mt.fa, mt.fb, mt.fc]), jnp.float32
+        )
+        counts = jnp.stack([mt.num_verts, mt.num_faces]).astype(jnp.int32)
+        counts_col = jax.lax.bitcast_convert_type(
+            jnp.broadcast_to(counts[None, :], (3, 2)), jnp.float32
+        )
+        return jnp.concatenate([verts, faces_bits, counts_col], axis=1)
+
     @functools.partial(jax.jit, static_argnums=(0,))
     def _surface_query_jit(self, scene_code, px, py, pz):
         """Material query at baked surface positions (chunked)."""
@@ -359,20 +382,25 @@ class SF3D:
         res = c.isosurface_resolution
         N = lattice_size(res)
         max_verts, max_faces = 24 * N * N, 48 * N * N
-        mt = self._extract_jit(scene_codes[0], thr, max_verts, max_faces)
-        nv, nf = int(mt.num_verts), int(mt.num_faces)
+        while True:
+            packed = np.asarray(
+                self._extract_packed_jit(scene_codes[0], thr, max_verts, max_faces)
+            )
+            counts = packed[0, -2:].view(np.int32)
+            nv, nf = int(counts[0]), int(counts[1])
+            if nv <= max_verts and nf <= max_faces:
+                break
+            max_verts = max(2 * max_verts, nv)
+            max_faces = max(2 * max_faces, nf)
         if nv == 0:
             return None
-        if nv > max_verts or nf > max_faces:
-            mt = self._extract_jit(
-                scene_codes[0], thr, max(2 * max_verts, nv), max(2 * max_faces, nf)
-            )
-            nv, nf = int(mt.num_verts), int(mt.num_faces)
-
-        from sculptmate_tpu.geometry.packing import fetch_mesh
-
-        verts01, faces = fetch_mesh(mt, nv, nf)
-        verts = verts01 * (2 * c.radius) - c.radius  # [0,1] -> bbox
+        verts = packed[:, :max_verts].T[:nv].copy()
+        faces = (
+            packed[:, max_verts : max_verts + max_faces]
+            .view(np.int32)
+            .T[:nf]
+            .astype(np.int64)
+        )
         mesh = Mesh(verts, faces)
 
         # vertex budget (sf3d/system.py:346-351; the reference compares

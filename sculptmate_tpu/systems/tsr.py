@@ -193,6 +193,70 @@ class TSR:
         density = query_density_grid(scene_code, weights, spec)
         return marching_cubes(density - threshold, max_verts, max_faces)
 
+    @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6))
+    def _extract_packed_jit(
+        self, scene_code, resolution, threshold, max_verts, max_faces, want_colors
+    ):
+        """Extraction + color query + transfer packing as ONE program with ONE
+        output buffer: device->host round trips through tunneled TPU runtimes
+        cost ~300 ms *each* regardless of size, so everything (positions,
+        colors, bit-cast faces, bit-cast counts) rides one (3, W) f32 array.
+        """
+        weights = mlp_weights_from_params(self.params["decoder"]["layers"])
+        spec = self.grid_spec(resolution)
+        density = query_density_grid(scene_code, weights, spec)
+        res = marching_cubes(density - threshold, max_verts, max_faces)
+
+        scale = 2 * self.config.radius / (resolution - 1.0)
+        wx = res.vx * scale - self.config.radius
+        wy = res.vy * scale - self.config.radius
+        wz = res.vz * scale - self.config.radius
+        verts = jnp.stack([wx, wy, wz])  # (3, max_verts) world coords
+
+        parts = [verts]
+        if want_colors:
+            n = max_verts
+            chunk = 65536 if (n > 65536 and n % 65536 == 0) else n
+
+            def one(args):
+                cx, cy, cz = args
+                return query_triplane_points(
+                    scene_code, weights, cx, cy, cz, spec
+                )["color"]
+
+            if n <= chunk:
+                colors = one((wx, wy, wz))
+            else:
+                cparts = jax.lax.map(
+                    one,
+                    (
+                        wx.reshape(-1, chunk),
+                        wy.reshape(-1, chunk),
+                        wz.reshape(-1, chunk),
+                    ),
+                )
+                colors = jnp.swapaxes(cparts, 0, 1).reshape(3, n)
+            parts.append(colors)
+
+        faces_bits = jax.lax.bitcast_convert_type(
+            jnp.stack([res.fa, res.fb, res.fc]), jnp.float32
+        )
+        parts.append(faces_bits)
+
+        counts = jnp.stack(
+            [
+                res.num_verts,
+                res.num_faces,
+                res.num_active_blocks,
+                res.num_active_cells,
+            ]
+        ).astype(jnp.int32)
+        counts_col = jax.lax.bitcast_convert_type(
+            jnp.broadcast_to(counts[None, :], (3, 4)), jnp.float32
+        )
+        parts.append(counts_col)
+        return jnp.concatenate(parts, axis=1)
+
     @functools.partial(jax.jit, static_argnums=(0,))
     def _colors_jit(self, scene_code, px, py, pz):
         weights = mlp_weights_from_params(self.params["decoder"]["layers"])
@@ -311,38 +375,31 @@ class TSR:
             max_faces = 16 * resolution * resolution
         out = []
         for scene_code in scene_codes:
-            res = self._extract_jit(
-                scene_code, resolution, float(threshold), max_verts, max_faces
-            )
-            nv, nf = int(res.num_verts), int(res.num_faces)
-            if nv > max_verts or nf > max_faces:
-                res = self._extract_jit(
-                    scene_code,
-                    resolution,
-                    float(threshold),
-                    max(2 * max_verts, nv),
-                    max(2 * max_faces, nf),
-                )
-                nv, nf = int(res.num_verts), int(res.num_faces)
-            from sculptmate_tpu.geometry.packing import fetch_mesh
+            mv, mf = max_verts, max_faces
+            while True:
+                packed = np.asarray(
+                    self._extract_packed_jit(
+                        scene_code, resolution, float(threshold), mv, mf,
+                        bool(has_vertex_color),
+                    )
+                )  # ONE device->host transfer for the whole mesh
+                counts = packed[0, -4:].view(np.int32)
+                nv, nf = int(counts[0]), int(counts[1])
+                if nv <= mv and nf <= mf:
+                    break
+                mv = max(2 * mv, 65536 * -(-nv // 65536))
+                mf = max(2 * mf, nf)
 
-            verts_idx, faces = fetch_mesh(res, nv, nf)
-            # lattice index -> [0,1] -> (-radius, radius)
-            verts_world = (verts_idx / (resolution - 1.0)) * (
-                2 * self.config.radius
-            ) - self.config.radius
+            verts_world = packed[:, :mv].T[:nv].copy()
+            off = mv
             colors = None
-            if has_vertex_color and nv > 0:
-                # pad to a power-of-two bucket so the color-query program is
-                # compiled once per bucket, not once per vertex count
-                bucket = 1 << max(12, int(nv - 1).bit_length())
-                comps = []
-                for c in range(3):
-                    buf = np.zeros((bucket,), np.float32)
-                    buf[:nv] = verts_world[:, c]
-                    comps.append(jnp.asarray(buf))
-                colors = np.asarray(
-                    self._colors_jit(scene_code, *comps)
-                ).T[:nv]
-            out.append((np.asarray(verts_world), faces, colors))
+            if has_vertex_color:
+                colors = packed[:, off : off + mv].T[:nv].copy()
+                off += mv
+            faces = (
+                packed[:, off : off + mf].view(np.int32).T[:nf].astype(np.int64)
+            )
+            if nv == 0:
+                colors = None
+            out.append((verts_world, faces, colors))
         return out
