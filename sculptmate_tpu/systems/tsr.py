@@ -238,10 +238,12 @@ class TSR:
                 colors = jnp.swapaxes(cparts, 0, 1).reshape(3, n)
             parts.append(colors)
 
-        faces_bits = jax.lax.bitcast_convert_type(
-            jnp.stack([res.fa, res.fb, res.fc]), jnp.float32
-        )
-        parts.append(faces_bits)
+        # ints ride as exact f32 values (< 2^24), NOT bitcasts: bitcast
+        # int32->f32 yields denormals for small ints and the TPU flushes
+        # denormals to zero (observed: all counts came back 0)
+        assert max_verts < (1 << 24), "face ids would lose f32 precision"
+        faces_f = jnp.stack([res.fa, res.fb, res.fc]).astype(jnp.float32)
+        parts.append(faces_f)
 
         counts = jnp.stack(
             [
@@ -250,11 +252,8 @@ class TSR:
                 res.num_active_blocks,
                 res.num_active_cells,
             ]
-        ).astype(jnp.int32)
-        counts_col = jax.lax.bitcast_convert_type(
-            jnp.broadcast_to(counts[None, :], (3, 4)), jnp.float32
-        )
-        parts.append(counts_col)
+        ).astype(jnp.float32)
+        parts.append(jnp.broadcast_to(counts[None, :], (3, 4)))
         return jnp.concatenate(parts, axis=1)
 
     @functools.partial(jax.jit, static_argnums=(0,))
@@ -383,7 +382,7 @@ class TSR:
                         bool(has_vertex_color),
                     )
                 )  # ONE device->host transfer for the whole mesh
-                counts = packed[0, -4:].view(np.int32)
+                counts = np.rint(packed[0, -4:]).astype(np.int64)
                 nv, nf = int(counts[0]), int(counts[1])
                 if nv <= mv and nf <= mf:
                     break
@@ -397,7 +396,7 @@ class TSR:
                 colors = packed[:, off : off + mv].T[:nv].copy()
                 off += mv
             faces = (
-                packed[:, off : off + mf].view(np.int32).T[:nf].astype(np.int64)
+                np.rint(packed[:, off : off + mf]).T[:nf].astype(np.int64)
             )
             if nv == 0:
                 colors = None
