@@ -51,6 +51,12 @@ def _cmd_generate(args: argparse.Namespace) -> int:
             threshold=args.threshold,
         )
         verts, faces, colors = meshes[0]
+        if args.simplify_faces and len(faces) > args.simplify_faces:
+            from sculptmate_tpu.geometry.decimate import decimate
+
+            ratio = args.simplify_faces / len(faces)
+            verts, faces = decimate(verts, faces, target_ratio=ratio)
+            colors = None  # vertex mapping changed; re-query would be needed
         t2 = time.time()
     else:
         from sculptmate_tpu.systems.sf3d import SF3D
@@ -187,6 +193,10 @@ def main(argv=None) -> int:
     g.add_argument("--ratio", type=float, default=None, help="foreground framing ratio (default 0.75 lean / 0.85 fast)")
     g.add_argument("--texture", action="store_true", help="vertex colors (lean) / baked textures (fast)")
     g.add_argument("--bake-resolution", type=int, default=512)
+    g.add_argument(
+        "--simplify-faces", type=int, default=0,
+        help="decimate the lean mesh to ~N faces (e.g. 20000)",
+    )
     g.add_argument("--vertex-simplification", default="high", choices=["high", "medium", "low"])
     g.add_argument("--no-remove-bg", dest="remove_bg", action="store_false")
     g.add_argument("--seed", type=int, default=0)

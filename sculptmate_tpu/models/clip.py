@@ -14,6 +14,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from sculptmate_tpu.ops.attention import dot_product_attention
+
 OPENAI_DATASET_MEAN = (0.48145466, 0.4578275, 0.40821073)
 OPENAI_DATASET_STD = (0.26862954, 0.26130258, 0.27577711)
 
@@ -33,7 +35,7 @@ class CLIPBlock(nn.Module):
         q = q.reshape(B, N, self.heads, head_dim)
         k = k.reshape(B, N, self.heads, head_dim)
         v = v.reshape(B, N, self.heads, head_dim)
-        attn = jax.nn.dot_product_attention(q, k, v).reshape(B, N, self.width)
+        attn = dot_product_attention(q, k, v).reshape(B, N, self.width)
         x = x + nn.Dense(self.width, dtype=self.dtype, name="out_proj")(attn)
 
         h = nn.LayerNorm(dtype=self.dtype, name="ln_2")(x)

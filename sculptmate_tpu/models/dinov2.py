@@ -23,6 +23,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from sculptmate_tpu.ops.attention import dot_product_attention
+
 from sculptmate_tpu.models.vit import IMAGENET_MEAN, IMAGENET_STD
 
 
@@ -83,7 +85,7 @@ class Dinov2Layer(nn.Module):
         q = q.reshape(B, Nt, self.num_heads, head_dim)
         k = k.reshape(B, Nt, self.num_heads, head_dim)
         v = v.reshape(B, Nt, self.num_heads, head_dim)
-        attn = jax.nn.dot_product_attention(q, k, v).reshape(B, Nt, self.hidden_size)
+        attn = dot_product_attention(q, k, v).reshape(B, Nt, self.hidden_size)
         attn = nn.Dense(self.hidden_size, dtype=self.dtype, name="attn_output")(attn)
         attn = LayerScale(self.hidden_size, name="layer_scale1")(attn)
         x = x + attn

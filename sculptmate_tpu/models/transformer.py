@@ -24,6 +24,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from sculptmate_tpu.ops.attention import dot_product_attention
+
 
 class Attention(nn.Module):
     """Multi-head attention with optional cross-attention source."""
@@ -51,7 +53,7 @@ class Attention(nn.Module):
         k = k.reshape(B, Nk, self.heads, self.dim_head)
         v = v.reshape(B, Nk, self.heads, self.dim_head)
 
-        out = jax.nn.dot_product_attention(q, k, v)
+        out = dot_product_attention(q, k, v)
         out = out.reshape(B, Nq, inner)
         return nn.Dense(inner, use_bias=self.out_bias, dtype=self.dtype, name="to_out")(out)
 

@@ -19,6 +19,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from sculptmate_tpu.ops.attention import dot_product_attention
+
 from sculptmate_tpu.models.transformer import FeedForward
 
 
@@ -42,7 +44,7 @@ class CrossAttention(nn.Module):
         q = q.reshape(B, Nq, self.num_heads, head_dim)
         k = k.reshape(B, Nk, self.num_heads, head_dim)
         v = v.reshape(B, Nk, self.num_heads, head_dim)
-        out = jax.nn.dot_product_attention(q, k, v).reshape(B, Nq, self.dim)
+        out = dot_product_attention(q, k, v).reshape(B, Nq, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 

@@ -24,6 +24,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from sculptmate_tpu.ops.attention import dot_product_attention
+
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
@@ -43,7 +45,7 @@ class ViTSelfAttention(nn.Module):
         q = q.reshape(B, N, self.num_heads, head_dim)
         k = k.reshape(B, N, self.num_heads, head_dim)
         v = v.reshape(B, N, self.num_heads, head_dim)
-        out = jax.nn.dot_product_attention(q, k, v).reshape(B, N, self.hidden_size)
+        out = dot_product_attention(q, k, v).reshape(B, N, self.hidden_size)
         return nn.Dense(self.hidden_size, dtype=self.dtype, name="output")(out)
 
 

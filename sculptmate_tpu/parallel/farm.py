@@ -89,6 +89,42 @@ class AssetFarm:
             self.params, codes, resolution, float(threshold), max_verts, max_faces
         )
 
+    def generate_batch_rgba(
+        self,
+        rgba: jnp.ndarray,
+        matting=None,
+        ratio: float = 0.75,
+        resolution: int = 256,
+        threshold: float = 25.0,
+        max_verts: int = 0,
+        max_faces: int = 0,
+    ):
+        """Full streaming pipeline (BASELINE config 5): raw RGBA batch ->
+        (optional) u2net matting -> fused device preprocess -> encode ->
+        extract, all stages batch-sharded over the dp axis."""
+        from sculptmate_tpu.frontend.preprocess import preprocess_batch_device
+        from sculptmate_tpu.frontend.matting import U2NET_SIZE
+
+        rgba = jax.device_put(rgba, NamedSharding(self.mesh, P(self.dp_axis)))
+        if matting is not None:
+            small = jax.image.resize(
+                rgba[..., :3],
+                (rgba.shape[0], U2NET_SIZE, U2NET_SIZE, 3),
+                "linear",
+            )
+            mask = matting.predict_mask_batch(small)
+            alpha = jax.image.resize(
+                mask[..., None],
+                (rgba.shape[0], rgba.shape[1], rgba.shape[2], 1),
+                "linear",
+            )
+            rgba = jnp.concatenate([rgba[..., :3], alpha], axis=-1)
+        size = self.tsr.config.cond_image_size
+        cond = preprocess_batch_device(rgba, ratio=ratio, out_size=size)
+        return self.generate_batch(
+            cond, resolution, threshold, max_verts, max_faces
+        )
+
 
 def sharded_density_grid(
     mesh: Mesh,

@@ -43,6 +43,18 @@ def test_asset_farm_dp8(tiny_tsr, rng):
     assert int(res.num_verts.max()) <= 8 * 16 * 16
 
 
+def test_asset_farm_full_pipeline_rgba(tiny_tsr, rng):
+    mesh = make_mesh((8,), ("dp",))
+    farm = AssetFarm(tiny_tsr, mesh)
+    rgba = np.zeros((8, 64, 64, 4), np.float32)
+    rgba[:, 16:48, 20:44, :3] = rng.random((8, 32, 24, 3))
+    rgba[:, 16:48, 20:44, 3] = 1.0
+    res = farm.generate_batch_rgba(
+        jnp.asarray(rgba), matting=None, resolution=16, threshold=0.36
+    )
+    assert res.num_verts.shape == (8,)
+
+
 def test_sharded_density_grid_sp(tiny_tsr, rng):
     from sculptmate_tpu.ops.density_grid import (
         mlp_weights_from_params,
