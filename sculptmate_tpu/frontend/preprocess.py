@@ -68,6 +68,59 @@ def preprocess_image(
     return out.resize((OUTPUT_SIZE, OUTPUT_SIZE), Image.Resampling.LANCZOS)
 
 
+def sam_segment(image: Image.Image, bbox, session=None) -> Image.Image:
+    """SAM-assisted cutout (the reference's dormant ``sam_out_nosave`` path,
+    ``preprocessing.py:22-39``): box-prompted SAM mask as alpha."""
+    import json
+
+    if session is None:
+        from sculptmate_tpu.frontend.sessions import new_session
+
+        session = new_session("sam")
+    prompt = [{"type": "rectangle", "data": list(map(float, bbox))}]
+    mask = session.predict(image, sam_prompt=json.dumps(prompt))[0]
+    out = np.zeros((image.height, image.width, 4), np.uint8)
+    out[:, :, :3] = np.asarray(image.convert("RGB"))
+    out[:, :, 3] = np.asarray(mask)
+    return Image.fromarray(out, mode="RGBA")
+
+
+def image_preprocess_sam(
+    input_image: Image.Image, lower_contrast: bool = True, rescale: bool = True
+) -> Tuple[Image.Image, float]:
+    """The reference's dormant SAM-path preprocessing
+    (``preprocessing.py:42-70``): optional contrast lowering, alpha-bbox
+    recenter onto a square canvas, LANCZOS to 1024^2, gray->white composite.
+    Returns (rgb image, foreground scale)."""
+    arr = np.asarray(input_image).copy()
+    in_w = arr.shape[0]
+
+    if lower_contrast:
+        # convertScaleAbs(alpha=0.8): scale + clip, then re-solidify alpha
+        arr = np.clip(arr.astype(np.float32) * 0.8, 0, 255).astype(np.uint8)
+        arr[arr[..., -1] > 200, -1] = 255
+
+    alpha = np.asarray(input_image)[..., -1]
+    ys, xs = np.where(alpha > 1)
+    if len(ys) == 0:
+        return input_image.convert("RGB"), 1.0
+    y, x = ys.min(), xs.min()
+    h = ys.max() - ys.min() + 1
+    w = xs.max() - xs.min() + 1
+    max_size = max(w, h)
+    side_len = int(max_size / 0.75) if rescale else in_w
+    scale = in_w / w
+    padded = np.zeros((side_len, side_len, 4), np.uint8)
+    center = side_len // 2
+    padded[
+        center - h // 2 : center - h // 2 + h, center - w // 2 : center - w // 2 + w
+    ] = arr[y : y + h, x : x + w]
+    rgba = Image.fromarray(padded).resize((OUTPUT_SIZE, OUTPUT_SIZE), Image.LANCZOS)
+    f = np.asarray(rgba).astype(np.float32) / 255.0
+    rgb = f[..., :3] * f[..., -1:] + (1 - f[..., -1:])
+    return Image.fromarray((rgb * 255).astype(np.uint8)), scale
+
+
 def _alpha_bbox(alpha: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
     """Masked bbox of alpha > 0 for one (H, W) plane. Returns y1,y2,x1,x2
     (max bounds exclusive-style like np.where().max())."""

@@ -159,15 +159,15 @@ _REGISTRY: Dict[str, Type[JaxSessionBase]] = {
 
 
 @functools.lru_cache(maxsize=4)
-def new_session(model_name: str = "u2net") -> JaxSessionBase:
+def new_session(model_name: str = "u2net"):
     """Session factory (``rembg/session_factory.py:11-44``)."""
     if model_name == "sam":
-        raise NotImplementedError(
-            "The SAM prompt-segmentation session is not yet available in the "
-            "JAX port; use one of: " + ", ".join(sorted(_REGISTRY))
-        )
+        from sculptmate_tpu.frontend.sam import SamSession
+
+        return SamSession()
     if model_name not in _REGISTRY:
         raise ValueError(
-            f"unknown session '{model_name}'; available: {sorted(_REGISTRY)}"
+            f"unknown session '{model_name}'; available: "
+            + ", ".join(sorted(_REGISTRY) + ["sam"])
         )
     return _REGISTRY[model_name]()
