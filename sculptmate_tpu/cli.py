@@ -180,6 +180,28 @@ def _cmd_render(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_convert(args: argparse.Namespace) -> int:
+    """Convert reference checkpoints (torch/ONNX) to native orbax trees."""
+    from sculptmate_tpu.runtime import checkpoint as ck
+
+    src = args.input
+    if src.endswith(".ckpt"):
+        tree = ck.load_tsr_checkpoint(src)
+    elif src.endswith(".safetensors"):
+        tree = ck.load_sf3d_checkpoint(src)
+    elif src.endswith(".onnx"):
+        tree = ck.convert_u2net_onnx(src)
+        if tree is None:
+            print("[sculptmate] onnx package unavailable", file=sys.stderr)
+            return 1
+    else:
+        print(f"[sculptmate] unknown checkpoint format: {src}", file=sys.stderr)
+        return 1
+    ck.save_native(args.output, tree)
+    print(json.dumps({"input": src, "output": args.output}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="sculptmate", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -216,6 +238,11 @@ def main(argv=None) -> int:
     r.add_argument("--size", type=int, default=256)
     r.add_argument("--seed", type=int, default=0)
     r.set_defaults(func=_cmd_render)
+
+    c = sub.add_parser("convert", help="torch/onnx checkpoint -> native orbax")
+    c.add_argument("input", help="model.ckpt | model.safetensors | u2net.onnx")
+    c.add_argument("output", help="output checkpoint directory")
+    c.set_defaults(func=_cmd_convert)
 
     args = p.parse_args(argv)
     return args.func(args)

@@ -26,60 +26,106 @@ import numpy as np
 
 
 def _rasterize_core(u0, v0, u1, v1, u2, v2, resolution: int, row_chunk: int):
-    """SoA triangle corner UVs (F,) each -> (4, res, res) [bu, bv, bw, tid]."""
+    """SoA triangle corner UVs (F,) each -> (4, res, res) [bu, bv, bw, tid].
+
+    Double-chunked: lax.map over pixel-row chunks, fori_loop over face
+    chunks with a running lowest-face-id merge — peak intermediate is
+    (row_chunk, res, face_chunk), never O(res^2 * F) (the dense version
+    tried to allocate 64 GB at 512^2 x 65K faces).
+    """
     F = u0.shape[0]
-    e1u, e1v = u1 - u0, v1 - v0
-    e2u, e2v = u2 - u0, v2 - v0
-    d00 = e1u * e1u + e1v * e1v
-    d01 = e1u * e2u + e1v * e2v
-    d11 = e2u * e2u + e2v * e2v
-    denom = d00 * d11 - d01 * d01
-    denom_safe = jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
+    FACE_CHUNK = min(F, 8192)
+    # pad faces to a chunk multiple with degenerates
+    Fp = -(-F // FACE_CHUNK) * FACE_CHUNK
+    padf = lambda a: jnp.pad(a, (0, Fp - F))
+    u0p, v0p, u1p, v1p, u2p, v2p = map(padf, (u0, v0, u1, v1, u2, v2))
 
     px = jnp.linspace(0.0, 1.0, resolution)
+    py_full = jnp.linspace(0.0, 1.0, resolution)
 
     def do_rows(y0):
-        py = jax.lax.dynamic_slice(
-            jnp.linspace(0.0, 1.0, resolution), (y0 * row_chunk,), (row_chunk,)
+        py = jax.lax.dynamic_slice(py_full, (y0 * row_chunk,), (row_chunk,))
+        gx = px[None, :, None]
+        gy = py[:, None, None]
+
+        def face_block(ci, state):
+            best_id, best_bu, best_bv, best_bw = state
+            sl = lambda a: jax.lax.dynamic_slice(a, (ci * FACE_CHUNK,), (FACE_CHUNK,))
+            fu0, fv0, fu1, fv1, fu2, fv2 = map(sl, (u0p, v0p, u1p, v1p, u2p, v2p))
+            e1u, e1v = fu1 - fu0, fv1 - fv0
+            e2u, e2v = fu2 - fu0, fv2 - fv0
+            d00 = e1u * e1u + e1v * e1v
+            d01 = e1u * e2u + e1v * e2v
+            d11 = e2u * e2u + e2v * e2v
+            denom = d00 * d11 - d01 * d01
+            denom_safe = jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
+
+            pu = gx - fu0[None, None, :]  # (rows, res, FACE_CHUNK)
+            pv = gy - fv0[None, None, :]
+            d20 = pu * e1u + pv * e1v
+            d21 = pu * e2u + pv * e2v
+            bv = (d11 * d20 - d01 * d21) / denom_safe
+            bw = (d00 * d21 - d01 * d20) / denom_safe
+            bu = 1.0 - bv - bw
+            fid = ci * FACE_CHUNK + jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, FACE_CHUNK), 2
+            )
+            inside = (
+                (bu >= 0) & (bv >= 0) & (bw >= 0)
+                & (jnp.abs(denom) >= 1e-12)
+                & (fid < F)
+            )
+            cand = jnp.where(inside, fid, jnp.int32(2**30))
+            loc = jnp.argmin(cand, axis=-1)  # first covering face in chunk
+            take = lambda arr: jnp.take_along_axis(arr, loc[..., None], -1)[..., 0]
+            cid = take(cand)
+            better = cid < best_id
+            return (
+                jnp.where(better, cid, best_id),
+                jnp.where(better, take(bu), best_bu),
+                jnp.where(better, take(bv), best_bv),
+                jnp.where(better, take(bw), best_bw),
+            )
+
+        init = (
+            jnp.full((row_chunk, resolution), 2**30, jnp.int32),
+            jnp.zeros((row_chunk, resolution), jnp.float32),
+            jnp.zeros((row_chunk, resolution), jnp.float32),
+            jnp.zeros((row_chunk, resolution), jnp.float32),
         )
-        # pixel grid (chunk, res)
-        gx = px[None, :, None]  # (1, res, 1)
-        gy = py[:, None, None]  # (chunk, 1, 1)
-        pu = gx - u0[None, None, :]  # (chunk, res, F)
-        pv = gy - v0[None, None, :]
-        d20 = pu * e1u + pv * e1v
-        d21 = pu * e2u + pv * e2v
-        bv = (d11 * d20 - d01 * d21) / denom_safe
-        bw = (d00 * d21 - d01 * d20) / denom_safe
-        bu = 1.0 - bv - bw
-        inside = (bu >= 0) & (bv >= 0) & (bw >= 0) & (jnp.abs(denom) >= 1e-12)
-        any_inside = jnp.any(inside, axis=-1)
-        tid = jnp.argmax(inside, axis=-1)  # first covering face
-        take = lambda arr: jnp.take_along_axis(arr, tid[..., None], axis=-1)[..., 0]
+        best_id, bu, bv, bw = jax.lax.fori_loop(0, Fp // FACE_CHUNK, face_block, init)
+        hit = best_id < 2**30
         out = jnp.stack(
             [
-                jnp.where(any_inside, take(bu), 0.0),
-                jnp.where(any_inside, take(bv), 0.0),
-                jnp.where(any_inside, take(bw), 0.0),
-                jnp.where(any_inside, tid.astype(jnp.float32), -1.0),
+                jnp.where(hit, bu, 0.0),
+                jnp.where(hit, bv, 0.0),
+                jnp.where(hit, bw, 0.0),
+                jnp.where(hit, best_id.astype(jnp.float32), -1.0),
             ]
-        )  # (4, chunk, res)
-        return out
+        )
+        return out  # (4, rows, res)
 
     n_chunks = resolution // row_chunk
-    rows = jax.lax.map(do_rows, jnp.arange(n_chunks))  # (n, 4, chunk, res)
+    rows = jax.lax.map(do_rows, jnp.arange(n_chunks))  # (n, 4, rows, res)
     return jnp.transpose(rows, (1, 0, 2, 3)).reshape(4, resolution, resolution)
 
 
 _rasterize_jit = jax.jit(_rasterize_core, static_argnums=(6, 7))
 
 
+def _pick_row_chunk(resolution: int, n_faces: int) -> int:
+    # bound the (rows, res, face_chunk) intermediate to ~64M elements
+    fc = min(max(n_faces, 1), 8192)
+    rc = max(1, min(64, (64 * 1024 * 1024) // (resolution * fc)))
+    while resolution % rc:
+        rc -= 1
+    return rc
+
+
 def rasterize_device(u0, v0, u1, v1, u2, v2, resolution: int) -> jnp.ndarray:
     """Trace-friendly rasterize: SoA per-corner UVs already on device."""
     F = u0.shape[0]
-    row_chunk = max(1, min(64, 4096 * 64 // max(F, 1)))
-    while resolution % row_chunk:
-        row_chunk -= 1
+    row_chunk = _pick_row_chunk(resolution, F)
     return _rasterize_core(u0, v0, u1, v1, u2, v2, resolution, row_chunk)
 
 
@@ -103,9 +149,7 @@ def rasterize(uv: np.ndarray, faces: np.ndarray, resolution: int) -> jnp.ndarray
     uv = np.asarray(uv, np.float32)
     faces = np.asarray(faces)
     tri = uv[faces]  # (F, 3, 2)
-    row_chunk = max(1, min(64, 4096 * 64 // max(len(faces), 1)))
-    while resolution % row_chunk:
-        row_chunk -= 1
+    row_chunk = _pick_row_chunk(resolution, len(faces))
     return _rasterize_jit(
         jnp.asarray(tri[:, 0, 0]),
         jnp.asarray(tri[:, 0, 1]),
