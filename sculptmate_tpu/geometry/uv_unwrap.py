@@ -180,6 +180,37 @@ def assign_atlas_index(
     out = np.asarray(face_index, np.int64).copy()
     tri_depth_all = vp_normalized[faces]  # (F, 3, 3) normalized positions
 
+    # native painter's loop (the per-face Python loop costs ~10s+ at 700K
+    # faces); numpy fallback below keeps identical semantics
+    from sculptmate_tpu.geometry.native import load_native
+
+    lib = load_native("unwrap_overlap")
+    if lib is not None:
+        import ctypes
+
+        depth_all = np.empty(F, np.float32)
+        for g in range(6):
+            ax, sgn = _FACE_RULES[g][0], _FACE_RULES[g][1]
+            sel = face_index == g
+            depth_all[sel] = sgn * tri_depth_all[sel][..., ax].mean(-1)
+        fn = lib.assign_faces_uv_to_atlas_index
+        fn.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        fn.restype = None
+        uv_c = np.ascontiguousarray(face_uv, np.float32)
+        fi_c = np.ascontiguousarray(face_index, np.int64)
+        fn(
+            uv_c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            depth_all.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            fi_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            F, depth_res,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        return out
+
     for g in range(6):
         ax, sgn = _FACE_RULES[g][0], _FACE_RULES[g][1]
         sel = np.flatnonzero(face_index == g)

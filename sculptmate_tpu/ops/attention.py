@@ -27,14 +27,17 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp
 
     q_chunk = max(128, _SCORE_BYTES_BUDGET // max(B * H * Nk * 4, 1))
     q_chunk = min(q_chunk, Nq)
-    while Nq % q_chunk:
-        q_chunk -= 1
+    # pad the query length to a chunk multiple (never shrink the chunk: a
+    # prime Nq like SF3D's 3089 latents would otherwise degrade to chunk=1)
+    Nq_pad = -(-Nq // q_chunk) * q_chunk
 
     scale = 1.0 / jnp.sqrt(jnp.asarray(D, jnp.float32)).astype(q.dtype)
     kt = jnp.swapaxes(k, 1, 2)  # (B, H, Nk, D)
     vt = jnp.swapaxes(v, 1, 2)
     qt = jnp.swapaxes(q, 1, 2)  # (B, H, Nq, D)
-    qt = qt.reshape(B, H, Nq // q_chunk, q_chunk, D)
+    if Nq_pad != Nq:
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, Nq_pad - Nq), (0, 0)))
+    qt = qt.reshape(B, H, Nq_pad // q_chunk, q_chunk, D)
     qt = jnp.moveaxis(qt, 2, 0)  # (n_chunks, B, H, q_chunk, D)
 
     def one(q_blk):
@@ -45,5 +48,5 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp
         return jnp.einsum("bhqk,bhkd->bhqd", p, vt)
 
     out = jax.lax.map(one, qt)  # (n_chunks, B, H, q_chunk, D)
-    out = jnp.moveaxis(out, 0, 2).reshape(B, H, Nq, D)
+    out = jnp.moveaxis(out, 0, 2).reshape(B, H, Nq_pad, D)[:, :, :Nq]
     return jnp.swapaxes(out, 1, 2)
