@@ -49,22 +49,41 @@ void assign_faces_uv_to_atlas_index(
         return depth[a] < depth[b];  // back to front
       });
 
+      // depth tolerance: faces of the same surface patch sit at nearly the
+      // same depth; only genuinely occluded faces (behind by > eps) demote
+      float dmin = 1e30f, dmax = -1e30f;
+      for (int64_t f : members) {
+        dmin = std::min(dmin, depth[f]);
+        dmax = std::max(dmax, depth[f]);
+      }
+      float eps = 0.02f * std::max(dmax - dmin, 1e-6f);
+
       for (int64_t f : order) {
         const float* uv = face_uv + 6 * f;
-        float umin = 1e30f, umax = -1e30f, vmin = 1e30f, vmax = -1e30f;
-        for (int c = 0; c < 3; c++) {
-          umin = std::min(umin, uv[2 * c]);
-          umax = std::max(umax, uv[2 * c]);
-          vmin = std::min(vmin, uv[2 * c + 1]);
-          vmax = std::max(vmax, uv[2 * c + 1]);
-        }
-        int x0 = std::clamp((int)(umin * R), 0, R - 1);
-        int x1 = std::clamp((int)std::ceil(umax * R), 1, R);
-        int y0 = std::clamp((int)(vmin * R), 0, R - 1);
-        int y1 = std::clamp((int)std::ceil(vmax * R), 1, R);
+        float ax = uv[0] * R, ay = uv[1] * R;
+        float bx = uv[2] * R, by = uv[3] * R;
+        float cx = uv[4] * R, cy = uv[5] * R;
+        float umin = std::min({ax, bx, cx}), umax = std::max({ax, bx, cx});
+        float vmin = std::min({ay, by, cy}), vmax = std::max({ay, by, cy});
+        int x0 = std::clamp((int)umin, 0, R - 1);
+        int x1 = std::clamp((int)std::ceil(umax) + 1, 1, R);
+        int y0 = std::clamp((int)vmin, 0, R - 1);
+        int y1 = std::clamp((int)std::ceil(vmax) + 1, 1, R);
         float d = depth[f];
+        float d1x = bx - ax, d1y = by - ay;
+        float d2x = cx - ax, d2y = cy - ay;
+        float det = d1x * d2y - d1y * d2x;
+        float adet = std::fabs(det);
         for (int y = y0; y < y1; y++)
           for (int x = x0; x < x1; x++) {
+            // exact point-in-triangle at the texel center (conservative
+            // bbox painting spuriously occluded neighbors' centroids)
+            float px = x + 0.5f - ax, py = y + 0.5f - ay;
+            if (adet > 1e-12f) {
+              float w1 = (px * d2y - py * d2x) / det;
+              float w2 = (d1x * py - d1y * px) / det;
+              if (w1 < -0.05f || w2 < -0.05f || w1 + w2 > 1.05f) continue;
+            }
             size_t i = (size_t)y * R + x;
             if (buf_depth[i] < d) {
               buf_depth[i] = d;
@@ -80,7 +99,8 @@ void assign_faces_uv_to_atlas_index(
         float cv = (uv[1] + uv[3] + uv[5]) / 3.0f;
         int x = std::clamp((int)(cu * R), 0, R - 1);
         int y = std::clamp((int)(cv * R), 0, R - 1);
-        if (buf_id[(size_t)y * R + x] != f) losers.push_back(f);
+        size_t i = (size_t)y * R + x;
+        if (buf_id[i] != f && buf_depth[i] > depth[f] + eps) losers.push_back(f);
       }
       if (losers.empty()) break;
       for (int64_t f : losers) out[f] = (round == 0) ? g + 6 : 12;

@@ -238,26 +238,45 @@ def assign_atlas_index(
 
 
 def _depth_visibility(uv: np.ndarray, depth: np.ndarray, res: int) -> np.ndarray:
-    """uv (n, 3, 2), depth (n,). True where a face wins its centroid texel."""
+    """uv (n, 3, 2), depth (n,). True where a face wins (or is within a
+    depth tolerance of the winner at) its centroid texel. Exact triangle
+    rasterization with a small barycentric margin — conservative bbox
+    painting spuriously occludes neighboring faces' centroids."""
     n = len(uv)
     buf_depth = np.full((res, res), -np.inf, np.float32)
     buf_id = np.full((res, res), -1, np.int64)
+    eps = 0.02 * max(float(depth.max() - depth.min()), 1e-6)
 
-    lo = np.clip((uv.min(1) * res).astype(np.int32), 0, res - 1)  # (n, 2)
-    hi = np.clip(np.ceil(uv.max(1) * res).astype(np.int32), 1, res)
+    pix = uv * res
+    lo = np.clip(pix.min(1).astype(np.int32), 0, res - 1)  # (n, 2)
+    hi = np.clip(np.ceil(pix.max(1)).astype(np.int32) + 1, 1, res)
 
     order = np.argsort(depth)  # back to front; later (closer) overwrite
     for i in order:
         x0, y0 = lo[i]
         x1, y1 = hi[i]
+        a, b, c = pix[i]
+        yy, xx = np.mgrid[y0:y1, x0:x1]
+        px = xx + 0.5 - a[0]
+        py = yy + 0.5 - a[1]
+        d1 = b - a
+        d2 = c - a
+        det = d1[0] * d2[1] - d1[1] * d2[0]
+        if abs(det) > 1e-12:
+            w1 = (px * d2[1] - py * d2[0]) / det
+            w2 = (d1[0] * py - d1[1] * px) / det
+            inside = (w1 >= -0.05) & (w2 >= -0.05) & (w1 + w2 <= 1.05)
+        else:
+            inside = np.ones_like(px, bool)
         region = buf_depth[y0:y1, x0:x1]
-        m = region < depth[i]
+        m = inside & (region < depth[i])
         region[m] = depth[i]
         buf_id[y0:y1, x0:x1][m] = i
 
     cen = np.clip((uv.mean(1) * res).astype(np.int32), 0, res - 1)
-    winner_at_cen = buf_id[cen[:, 1], cen[:, 0]]
-    return winner_at_cen == np.arange(n)
+    winner = buf_id[cen[:, 1], cen[:, 0]]
+    wdepth = buf_depth[cen[:, 1], cen[:, 0]]
+    return (winner == np.arange(n)) | (wdepth <= depth + eps)
 
 
 def _find_slice_offset_and_scale(index: np.ndarray):
