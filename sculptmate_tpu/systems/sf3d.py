@@ -337,12 +337,22 @@ class SF3D:
         estimate_illumination: bool = False,
         enable_texture: bool = True,
         threshold: Optional[float] = None,
+        metrics=None,
     ) -> Optional[Dict[str, Any]]:
-        """image: (1, H, W, 3|4) float [0,1]. Returns a mesh dict or None."""
+        """image: (1, H, W, 3|4) float [0,1]. Returns a mesh dict or None.
+
+        ``metrics``: optional ``runtime.logging.StageMetrics`` to record
+        per-stage wall clock."""
+        import contextlib
+
+        stage = metrics.stage if metrics is not None else (
+            lambda name: contextlib.nullcontext()
+        )
         c = self.config
-        mask, rgb = self.prepare_image(image)
-        scene_codes, direct_codes = self.get_scene_codes(rgb)
-        global_dict = dict(self._estimate(self.params, rgb * mask))
+        with stage("encode"):
+            mask, rgb = self.prepare_image(image)
+            scene_codes, direct_codes = self.get_scene_codes(rgb)
+            global_dict = dict(self._estimate(self.params, rgb * mask))
         if estimate_illumination:
             glob = self.module.apply(
                 {"params": self.params},
@@ -355,6 +365,8 @@ class SF3D:
         res = c.isosurface_resolution
         N = lattice_size(res)
         max_verts, max_faces = 24 * N * N, 48 * N * N
+        stage_extract = stage("extract")
+        stage_extract.__enter__()
         while True:
             packed = np.asarray(
                 self._extract_packed_jit(scene_codes[0], thr, max_verts, max_faces)
@@ -366,6 +378,7 @@ class SF3D:
             max_verts = max(2 * max_verts, nv)
             max_faces = max(2 * max_faces, nf)
         if nv == 0:
+            stage_extract.__exit__(None, None, None)
             return None
         verts = packed[:, :max_verts].T[:nv].copy()
         faces = (
@@ -374,6 +387,7 @@ class SF3D:
             .astype(np.int64)
         )
         mesh = Mesh(verts, faces)
+        stage_extract.__exit__(None, None, None)
 
         # vertex budget (sf3d/system.py:346-351; the reference compares
         # against 'med' so the UI's 'medium' silently fell through to 0.1 —
@@ -383,8 +397,10 @@ class SF3D:
         )
         vertex_count = round(factor * len(mesh.v_pos))
         if remesh == "triangle":
-            mesh = mesh.triangle_remesh(triangle_vertex_count=vertex_count)
-        mesh.unwrap_uv()
+            with stage("decimate"):
+                mesh = mesh.triangle_remesh(triangle_vertex_count=vertex_count)
+        with stage("unwrap"):
+            mesh.unwrap_uv()
 
         out: Dict[str, Any] = {
             "verts": mesh.v_pos,
@@ -399,9 +415,10 @@ class SF3D:
         if not enable_texture:
             return out
 
-        out.update(
-            self.bake_textures(mesh, scene_codes[0], global_dict, bake_resolution)
-        )
+        with stage("bake"):
+            out.update(
+                self.bake_textures(mesh, scene_codes[0], global_dict, bake_resolution)
+            )
         return out
 
     # ------------------------------------------------------------------
