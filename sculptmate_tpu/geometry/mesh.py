@@ -25,6 +25,13 @@ from typing import Optional
 import numpy as np
 
 
+def _scatter_add_rows(out: np.ndarray, idx: np.ndarray, vals: np.ndarray) -> None:
+    """out[idx] += vals via bincount (np.add.at is ~20x slower at 1M+ rows)."""
+    n = len(out)
+    for c in range(out.shape[1]):
+        out[:, c] += np.bincount(idx, weights=vals[:, c], minlength=n)
+
+
 class Mesh:
     def __init__(self, v_pos: np.ndarray, t_pos_idx: np.ndarray, **extras):
         self.v_pos = np.asarray(v_pos, np.float32)
@@ -81,7 +88,7 @@ class Mesh:
         fn = np.cross(v1 - v0, v2 - v0)
         n = np.zeros_like(self.v_pos)
         for c in range(3):
-            np.add.at(n, self.t_pos_idx[:, c], fn)
+            _scatter_add_rows(n, self.t_pos_idx[:, c], fn)
         bad = (n * n).sum(-1) <= 1e-20
         n[bad] = (0.0, 0.0, 1.0)
         return n / np.linalg.norm(n, axis=1, keepdims=True)
@@ -101,9 +108,10 @@ class Mesh:
 
         tangents = np.zeros_like(self.v_pos)
         tansum = np.zeros_like(self.v_pos)
+        ones = np.ones_like(tang)
         for c in range(3):
-            np.add.at(tangents, idx[:, c], tang)
-            np.add.at(tansum, idx[:, c], np.ones_like(tang))
+            _scatter_add_rows(tangents, idx[:, c], tang)
+            _scatter_add_rows(tansum, idx[:, c], ones)
         tangents = tangents / np.maximum(tansum, 1e-12)
         tangents = tangents / np.maximum(
             np.linalg.norm(tangents, axis=1, keepdims=True), 1e-12

@@ -120,11 +120,14 @@ def _face_tangents_from_uv(v_pos, v_nrm, faces, face_uv):
     denom = duv1[:, 0:1] * duv2[:, 1:2] - duv1[:, 1:2] * duv2[:, 0:1]
     tang = tng_nom / np.clip(denom, 1e-6, None)
 
+    from sculptmate_tpu.geometry.mesh import _scatter_add_rows
+
     tangents = np.zeros_like(v_nrm)
     tansum = np.zeros_like(v_nrm)
+    ones = np.ones_like(tang)
     for c in range(3):
-        np.add.at(tangents, faces[:, c], tang)
-        np.add.at(tansum, faces[:, c], np.ones_like(tang))
+        _scatter_add_rows(tangents, faces[:, c], tang)
+        _scatter_add_rows(tansum, faces[:, c], ones)
     tangents = tangents / np.maximum(tansum, 1e-12)
     tangents = tangents / np.maximum(np.linalg.norm(tangents, axis=1, keepdims=True), 1e-12)
     tangents = tangents - (tangents * v_nrm).sum(-1, keepdims=True) * v_nrm
