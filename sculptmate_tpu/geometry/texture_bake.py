@@ -35,10 +35,27 @@ def _rasterize_core(u0, v0, u1, v1, u2, v2, resolution: int, row_chunk: int):
     """
     F = u0.shape[0]
     FACE_CHUNK = min(F, 8192)
-    # pad faces to a chunk multiple with degenerates
+    # sort faces by their min-v so each pixel-row chunk only visits the face
+    # chunks whose v-range overlaps it (winner selection is by min original
+    # face id, so processing order does not change the result)
+    vmin_f = jnp.minimum(jnp.minimum(v0, v1), v2)
+    vmax_f = jnp.maximum(jnp.maximum(v0, v1), v2)
+    order = jnp.argsort(vmin_f)
+    fid_sorted = order.astype(jnp.int32)
+    u0, v0, u1, v1, u2, v2, vmin_f, vmax_f = (
+        a[order] for a in (u0, v0, u1, v1, u2, v2, vmin_f, vmax_f)
+    )
+
+    # pad faces to a chunk multiple with degenerates that never overlap
     Fp = -(-F // FACE_CHUNK) * FACE_CHUNK
     padf = lambda a: jnp.pad(a, (0, Fp - F))
     u0p, v0p, u1p, v1p, u2p, v2p = map(padf, (u0, v0, u1, v1, u2, v2))
+    fid_p = jnp.pad(fid_sorted, (0, Fp - F), constant_values=2**30)
+    vmin_p = jnp.pad(vmin_f, (0, Fp - F), constant_values=jnp.inf)
+    vmax_p = jnp.pad(vmax_f, (0, Fp - F), constant_values=-jnp.inf)
+    n_fchunks = Fp // FACE_CHUNK
+    chunk_vlo = vmin_p.reshape(n_fchunks, FACE_CHUNK).min(axis=1)
+    chunk_vhi = vmax_p.reshape(n_fchunks, FACE_CHUNK).max(axis=1)
 
     px = jnp.linspace(0.0, 1.0, resolution)
     py_full = jnp.linspace(0.0, 1.0, resolution)
@@ -47,11 +64,14 @@ def _rasterize_core(u0, v0, u1, v1, u2, v2, resolution: int, row_chunk: int):
         py = jax.lax.dynamic_slice(py_full, (y0 * row_chunk,), (row_chunk,))
         gx = px[None, :, None]
         gy = py[:, None, None]
+        row_v0 = py[0]
+        row_v1 = py[-1]
 
-        def face_block(ci, state):
+        def face_block_body(ci, state):
             best_id, best_bu, best_bv, best_bw = state
             sl = lambda a: jax.lax.dynamic_slice(a, (ci * FACE_CHUNK,), (FACE_CHUNK,))
             fu0, fv0, fu1, fv1, fu2, fv2 = map(sl, (u0p, v0p, u1p, v1p, u2p, v2p))
+            fid_chunk = sl(fid_p)
             e1u, e1v = fu1 - fu0, fv1 - fv0
             e2u, e2v = fu2 - fu0, fv2 - fv0
             d00 = e1u * e1u + e1v * e1v
@@ -67,9 +87,7 @@ def _rasterize_core(u0, v0, u1, v1, u2, v2, resolution: int, row_chunk: int):
             bv = (d11 * d20 - d01 * d21) / denom_safe
             bw = (d00 * d21 - d01 * d20) / denom_safe
             bu = 1.0 - bv - bw
-            fid = ci * FACE_CHUNK + jax.lax.broadcasted_iota(
-                jnp.int32, (1, 1, FACE_CHUNK), 2
-            )
+            fid = fid_chunk[None, None, :]
             inside = (
                 (bu >= 0) & (bv >= 0) & (bw >= 0)
                 & (jnp.abs(denom) >= 1e-12)
@@ -87,13 +105,21 @@ def _rasterize_core(u0, v0, u1, v1, u2, v2, resolution: int, row_chunk: int):
                 jnp.where(better, take(bw), best_bw),
             )
 
+        eps = 1.0 / resolution
+
+        def face_block(ci, state):
+            overlap = (chunk_vlo[ci] <= row_v1 + eps) & (chunk_vhi[ci] >= row_v0 - eps)
+            return jax.lax.cond(
+                overlap, lambda s: face_block_body(ci, s), lambda s: s, state
+            )
+
         init = (
             jnp.full((row_chunk, resolution), 2**30, jnp.int32),
             jnp.zeros((row_chunk, resolution), jnp.float32),
             jnp.zeros((row_chunk, resolution), jnp.float32),
             jnp.zeros((row_chunk, resolution), jnp.float32),
         )
-        best_id, bu, bv, bw = jax.lax.fori_loop(0, Fp // FACE_CHUNK, face_block, init)
+        best_id, bu, bv, bw = jax.lax.fori_loop(0, n_fchunks, face_block, init)
         hit = best_id < 2**30
         out = jnp.stack(
             [

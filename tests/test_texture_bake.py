@@ -1,0 +1,79 @@
+"""Texture bake: rasterizer vs brute-force reference, interpolation, dilation."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from sculptmate_tpu.geometry import texture_bake
+
+
+def _brute_force_raster(uv, faces, res):
+    """Direct port of the reference's vectorized spec
+    (texture_baker/common.py:144-211): lowest covering face id wins."""
+    out = np.zeros((res, res, 4), np.float32)
+    out[..., 3] = -1
+    px = np.linspace(0, 1, res)
+    py = np.linspace(0, 1, res)
+    tri = uv[faces]
+    for y in range(res):
+        for x in range(res):
+            p = np.array([px[x], py[y]])
+            for f in range(len(faces)):
+                a, b, c = tri[f]
+                d1, d2 = b - a, c - a
+                det = d1[0] * d2[1] - d1[1] * d2[0]
+                if abs(det) < 1e-12:
+                    continue
+                q = p - a
+                w1 = (q[0] * d2[1] - q[1] * d2[0]) / det
+                w2 = (d1[0] * q[1] - d1[1] * q[0]) / det
+                w0 = 1 - w1 - w2
+                if w0 >= 0 and w1 >= 0 and w2 >= 0:
+                    out[y, x] = [w0, w1, w2, f]
+                    break
+    return out
+
+
+def test_rasterize_matches_brute_force(rng):
+    res = 24
+    uv = rng.random((9, 2)).astype(np.float32)
+    faces = np.array([[0, 1, 2], [3, 4, 5], [6, 7, 8], [0, 3, 6]])
+    ref = _brute_force_raster(uv, faces, res)
+    got = np.asarray(texture_bake.rasterize(uv, faces, res))  # (4, res, res)
+    np.testing.assert_array_equal(got[3], ref[..., 3])
+    np.testing.assert_allclose(got[0], ref[..., 0], atol=1e-5)
+    np.testing.assert_allclose(got[1], ref[..., 1], atol=1e-5)
+    np.testing.assert_allclose(got[2], ref[..., 2], atol=1e-5)
+
+
+def test_interpolate(rng):
+    res = 16
+    uv = np.array([[0.1, 0.1], [0.9, 0.1], [0.5, 0.9]], np.float32)
+    faces = np.array([[0, 1, 2]])
+    rast = texture_bake.rasterize(uv, faces, res)
+    attr = np.array([[1.0, 0.0], [0.0, 1.0], [0.0, 0.0]], np.float32)
+    out = np.asarray(texture_bake.interpolate(attr, rast, faces))
+    mask = np.asarray(texture_bake.get_mask(rast))
+    assert mask.any()
+    # interpolated values stay within the attribute hull
+    assert out[0][mask].max() <= 1.0 + 1e-5
+    assert out[0][mask].min() >= -1e-5
+
+
+def test_dilate_fill(rng):
+    res = 16
+    img = jnp.zeros((3, res, res))
+    img = img.at[:, 8, 8].set(jnp.asarray([1.0, 0.5, 0.25]))
+    mask = jnp.zeros((res, res), bool).at[8, 8].set(True)
+    out = np.asarray(texture_bake.dilate_fill(img, mask, iterations=3))
+    # color propagated outward
+    assert out[0, 8, 11] > 0
+    assert abs(out[0, 8, 8] - 1.0) < 1e-6
+
+
+def test_float32_to_uint8_dither():
+    arr = np.full((8, 8, 3), 0.5, np.float32)
+    out = texture_bake.float32_to_uint8(arr, dither=True)
+    assert out.dtype == np.uint8
+    assert 120 <= out.mean() <= 135
+    out_nd = texture_bake.float32_to_uint8(arr, dither=False)
+    assert (out_nd == out_nd[0, 0]).all()
