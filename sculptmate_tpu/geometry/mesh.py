@@ -72,7 +72,9 @@ class Mesh:
                 ]
             )
             e = np.sort(e, axis=1)
-            self._edges = np.unique(e, axis=0)
+            key = e[:, 0] * np.int64(len(self.v_pos)) + e[:, 1]
+            _, first = np.unique(key, return_index=True)
+            self._edges = e[first]
         return self._edges
 
     # -- geometry ---------------------------------------------------------
@@ -131,7 +133,9 @@ class Mesh:
             e = np.sort(
                 np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]]), axis=1
             )
-            uniq, inv = np.unique(e, axis=0, return_inverse=True)
+            key = e[:, 0] * np.int64(len(v)) + e[:, 1]
+            _, first, inv = np.unique(key, return_index=True, return_inverse=True)
+            uniq = e[first]
             mid = (v[uniq[:, 0]] + v[uniq[:, 1]]) / 2
             mid_id = len(v) + inv.reshape(3, -1)  # (3, F) edge midpoint ids
             a, b, c = f[:, 0], f[:, 1], f[:, 2]

@@ -381,5 +381,9 @@ def unwrap(
     vc = placed[..., 1] / div_y[:, None] + offset_y[:, None]
     uv_flat = np.stack([uc, vc], axis=-1).reshape(-1, 2)
 
-    unique_uv, unique_idx = np.unique(uv_flat, axis=0, return_inverse=True)
+    # 1D unique over a complex view (lexicographic on (u, v)) - np.unique
+    # with axis=0 is several times slower at millions of rows
+    packed = np.ascontiguousarray(uv_flat, np.float32).view(np.complex64).ravel()
+    _, first, unique_idx = np.unique(packed, return_index=True, return_inverse=True)
+    unique_uv = uv_flat[first]
     return unique_uv.astype(np.float32), unique_idx.reshape(-1, 3)
