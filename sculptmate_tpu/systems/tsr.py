@@ -193,9 +193,10 @@ class TSR:
         density = query_density_grid(scene_code, weights, spec)
         return marching_cubes(density - threshold, max_verts, max_faces)
 
-    @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6))
+    @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6, 7))
     def _extract_packed_jit(
-        self, scene_code, resolution, threshold, max_verts, max_faces, want_colors
+        self, scene_code, resolution, threshold, max_verts, max_faces, want_colors,
+        block_capacity=0,
     ):
         """Extraction + color query + transfer packing as ONE program with ONE
         output buffer: device->host round trips through tunneled TPU runtimes
@@ -205,7 +206,9 @@ class TSR:
         weights = mlp_weights_from_params(self.params["decoder"]["layers"])
         spec = self.grid_spec(resolution)
         density = query_density_grid(scene_code, weights, spec)
-        res = marching_cubes(density - threshold, max_verts, max_faces)
+        res = marching_cubes(
+            density - threshold, max_verts, max_faces, block_capacity
+        )
 
         scale = 2 * self.config.radius / (resolution - 1.0)
         wx = res.vx * scale - self.config.radius
@@ -372,18 +375,29 @@ class TSR:
             max_verts = 8 * resolution * resolution
         if max_faces <= 0:
             max_faces = 16 * resolution * resolution
+        from sculptmate_tpu.geometry.marching_cubes import default_block_capacity
+
         out = []
         for scene_code in scene_codes:
             mv, mf = max_verts, max_faces
+            bc = default_block_capacity(resolution, mv)
             while True:
                 packed = np.asarray(
                     self._extract_packed_jit(
                         scene_code, resolution, float(threshold), mv, mf,
-                        bool(has_vertex_color),
+                        bool(has_vertex_color), bc,
                     )
                 )  # ONE device->host transfer for the whole mesh
                 counts = np.rint(packed[0, -4:]).astype(np.int64)
-                nv, nf = int(counts[0]), int(counts[1])
+                nv, nf, nblocks, ncells = (int(c) for c in counts)
+                # capacity overflows are detected, never silently truncated:
+                # block overflow would emit a corrupt mesh (missing verts)
+                if nblocks > bc:
+                    bc = 2 * max(bc, nblocks)
+                    continue
+                if ncells > mf // 2:
+                    mf = 2 * mf
+                    continue
                 if nv <= mv and nf <= mf:
                     break
                 mv = max(2 * mv, 65536 * -(-nv // 65536))

@@ -92,6 +92,28 @@ def test_random_field_watertight(rng):
                     )
 
 
+def test_block_overflow_detected():
+    """A too-small block capacity must be reported (silent truncation would
+    emit a corrupt mesh — this bit us at 512^3)."""
+    import jax
+    from sculptmate_tpu.geometry.marching_cubes import marching_cubes
+
+    R = 32
+    X, Y, Z = _grid(R)
+    level = 0.6 - np.sqrt(X**2 + Y**2 + Z**2)
+    full = jax.jit(marching_cubes, static_argnums=(1, 2, 3))(
+        jnp.asarray(level, jnp.float32), 32 * R * R, 64 * R * R, 0
+    )
+    tiny = jax.jit(marching_cubes, static_argnums=(1, 2, 3))(
+        jnp.asarray(level, jnp.float32), 32 * R * R, 64 * R * R, 8
+    )
+    assert int(tiny.num_active_blocks) == int(full.num_active_blocks)
+    assert int(tiny.num_active_blocks) > 8  # caller can detect and retry
+    # and with the correct capacity the meshes agree
+    v, f = marching_cubes_host(jnp.asarray(level, jnp.float32))
+    assert len(v) == int(full.num_verts)
+
+
 def test_empty_and_full():
     R = 8
     v, f = marching_cubes_host(jnp.asarray(np.full((R, R, R), -1.0, np.float32)))
