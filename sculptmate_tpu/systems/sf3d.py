@@ -364,7 +364,9 @@ class SF3D:
         thr = float(c.isosurface_threshold if threshold is None else threshold)
         res = c.isosurface_resolution
         N = lattice_size(res)
-        max_verts, max_faces = 24 * N * N, 48 * N * N
+        if not hasattr(self, "_cap_cache"):
+            self._cap_cache = (24 * N * N, 48 * N * N)
+        max_verts, max_faces = self._cap_cache
         stage_extract = stage("extract")
         stage_extract.__enter__()
         while True:
@@ -377,6 +379,7 @@ class SF3D:
                 break
             max_verts = max(2 * max_verts, nv)
             max_faces = max(2 * max_faces, nf)
+        self._cap_cache = (max_verts, max_faces)
         if nv == 0:
             stage_extract.__exit__(None, None, None)
             return None

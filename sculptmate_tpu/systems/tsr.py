@@ -377,10 +377,19 @@ class TSR:
             max_faces = 16 * resolution * resolution
         from sculptmate_tpu.geometry.marching_cubes import default_block_capacity
 
+        # remember capacities that worked at this resolution so later calls
+        # skip the overflow-retry extraction (a production server warms once)
+        if not hasattr(self, "_cap_cache"):
+            self._cap_cache = {}
+        cached = self._cap_cache.get(resolution)
+
         out = []
         for scene_code in scene_codes:
-            mv, mf = max_verts, max_faces
-            bc = default_block_capacity(resolution, mv)
+            if cached is not None:
+                mv, mf, bc = max(max_verts, cached[0]), max(max_faces, cached[1]), cached[2]
+            else:
+                mv, mf = max_verts, max_faces
+                bc = default_block_capacity(resolution, mv)
             while True:
                 packed = np.asarray(
                     self._extract_packed_jit(
@@ -402,6 +411,8 @@ class TSR:
                     break
                 mv = max(2 * mv, 65536 * -(-nv // 65536))
                 mf = max(2 * mf, nf)
+            self._cap_cache[resolution] = (mv, mf, bc)
+            cached = self._cap_cache[resolution]
 
             verts_world = packed[:, :mv].T[:nv].copy()
             off = mv
