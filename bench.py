@@ -48,12 +48,12 @@ def main():
         query_density_grid,
     )
 
+    @jax.jit
     def make_cond():
-        # 1. matting (device) -> alpha
-        mask = matting.predict_mask_batch(raw_small)
+        # 1. matting (device) -> alpha; 2. fused preprocess -> 512^2 cond
+        mask = matting._predict(matting.variables, raw_small)
         alpha = jax.image.resize(mask[..., None], (1, 512, 512, 1), "linear")
         rgba = jnp.concatenate([raw[..., :3], alpha], axis=-1)
-        # 2. fused preprocess -> 512^2 cond image
         return preprocess_batch_device(rgba, ratio=0.75, out_size=512)
 
     caps = {}
@@ -95,11 +95,15 @@ def main():
     verts, faces, colors = run_once()  # warm the final-capacity programs
     print(f"# capacities: {caps}", file=sys.stderr)
 
-    n = 5
-    t0 = time.perf_counter()
-    for _ in range(n):
+    # median of 5: the tunneled-TPU transfer latency fluctuates by ~3x over
+    # hours, and median resists those spikes better than mean
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
         verts, faces, colors = run_once()
-    dt = (time.perf_counter() - t0) / n
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    print(f"# iteration times: {[round(t, 2) for t in times]}", file=sys.stderr)
 
     print(
         json.dumps(

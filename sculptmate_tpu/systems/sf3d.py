@@ -377,8 +377,8 @@ class SF3D:
             nv, nf = int(counts[0]), int(counts[1])
             if nv <= max_verts and nf <= max_faces:
                 break
-            max_verts = max(2 * max_verts, nv)
-            max_faces = max(2 * max_faces, nf)
+            max_verts = max(max_verts, 65536 * -(-int(1.2 * nv) // 65536))
+            max_faces = max(max_faces, 65536 * -(-int(1.2 * nf) // 65536))
         self._cap_cache = (max_verts, max_faces)
         if nv == 0:
             stage_extract.__exit__(None, None, None)

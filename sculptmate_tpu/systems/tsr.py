@@ -401,16 +401,19 @@ class TSR:
                 nv, nf, nblocks, ncells = (int(c) for c in counts)
                 # capacity overflows are detected, never silently truncated:
                 # block overflow would emit a corrupt mesh (missing verts)
+                def up64k(n):
+                    return 65536 * -(-n // 65536)
+
                 if nblocks > bc:
-                    bc = 2 * max(bc, nblocks)
+                    bc = max(bc + 1, int(nblocks * 1.2))
                     continue
                 if ncells > mf // 2:
-                    mf = 2 * mf
+                    mf = max(mf + 65536, up64k(int(2.2 * ncells)))
                     continue
                 if nv <= mv and nf <= mf:
                     break
-                mv = max(2 * mv, 65536 * -(-nv // 65536))
-                mf = max(2 * mf, nf)
+                mv = max(mv, up64k(int(1.2 * nv)))
+                mf = max(mf, up64k(int(1.2 * nf)))
             self._cap_cache[resolution] = (mv, mf, bc)
             cached = self._cap_cache[resolution]
 
