@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -39,11 +40,12 @@ BS = 8  # block side
 
 
 def default_block_capacity(R: int, max_verts: int) -> int:
-    # a surface crosses O((R/8)^2) of the (R/8)^3 blocks; x12 covers highly
-    # convoluted fields, the host wrapper retries on overflow. Every capacity
-    # unit costs 512 gathered/scattered elements downstream - keep it tight.
+    # a surface crosses O((R/8)^2) of the (R/8)^3 blocks, times 3 edge axes;
+    # x12 covers convoluted fields, and callers retry on overflow. Every
+    # capacity unit costs 512 gathered/scattered elements downstream - keep
+    # it tight. Vertex blocks live in a 3*NB domain (one per edge axis).
     NB = (R // BS) ** 3
-    return int(min(NB, max(2048, 12 * (R // BS) ** 2)))
+    return int(min(3 * NB, max(2048, 36 * (R // BS) ** 2)))
 
 
 class MCResult(NamedTuple):
@@ -90,8 +92,14 @@ def _compact_blocks(block_mask_flat: jnp.ndarray, cap: int):
 
 
 def marching_cubes(level: jnp.ndarray, max_verts: int, max_faces: int,
-                   block_capacity: int = 0) -> MCResult:
-    """level: (R, R, R) float32, R divisible by 8. Jittable, static shapes."""
+                   block_capacity: int = 0, dense: bool = False) -> MCResult:
+    """level: (R, R, R) float32, R divisible by 8. Jittable, static shapes.
+
+    ``dense=True`` compacts with direct full-grid scatters instead of the
+    active-block gather+scatter — faster when a large fraction (>~20%) of
+    blocks is active (noise-like fields); the block path wins on ordinary
+    objects where the surface touches a few percent of blocks.
+    """
     R = level.shape[0]
     assert R % BS == 0, f"resolution {R} must be divisible by {BS}"
     n3 = R * R * R
@@ -135,25 +143,36 @@ def marching_cubes(level: jnp.ndarray, max_verts: int, max_faces: int,
         )
 
     vblock_mask = jnp.concatenate([block_any(m) for m in masks])  # (3 NB,)
-    vblk_ids, n_vblocks = _compact_blocks(vblock_mask, block_capacity)
-    vblk_valid = vblk_ids < 3 * NB
-    vb_safe = jnp.where(vblk_valid, vblk_ids, 0)
-    vb_axis = vb_safe // NB
-    vb_base = block_base[vb_safe % NB]
+    n_vblocks = jnp.sum(vblock_mask.astype(jnp.int32))
 
-    # gather per-block edge data: global flat edge index (A, 512)
-    gidx = vb_axis[:, None] * n3 + vb_base[:, None] + local_off[None, :]
-    gmask = mask_flat[gidx] & vblk_valid[:, None]
-    gvid = vid[gidx]
-
-    # scatter-compact the cut-edge indices into the vertex buffer
     sink = max_verts
-    dst = jnp.where(gmask, gvid, sink)
-    edge_idx = (
-        jnp.full((max_verts,), 3 * n3, jnp.int32)
-        .at[dst.ravel()]
-        .set(gidx.ravel().astype(jnp.int32), mode="drop")
-    )
+    if dense:
+        dst = jnp.where(mask_flat, vid, sink)
+        src = jax.lax.broadcasted_iota(jnp.int32, (3 * n3, 1), 0)[:, 0]
+        edge_idx = (
+            jnp.full((max_verts,), 3 * n3, jnp.int32)
+            .at[dst]
+            .set(src, mode="drop")
+        )
+    else:
+        vblk_ids, _ = _compact_blocks(vblock_mask, block_capacity)
+        vblk_valid = vblk_ids < 3 * NB
+        vb_safe = jnp.where(vblk_valid, vblk_ids, 0)
+        vb_axis = vb_safe // NB
+        vb_base = block_base[vb_safe % NB]
+
+        # gather per-block edge data: global flat edge index (A, 512)
+        gidx = vb_axis[:, None] * n3 + vb_base[:, None] + local_off[None, :]
+        gmask = mask_flat[gidx] & vblk_valid[:, None]
+        gvid = vid[gidx]
+
+        # scatter-compact the cut-edge indices into the vertex buffer
+        dst = jnp.where(gmask, gvid, sink)
+        edge_idx = (
+            jnp.full((max_verts,), 3 * n3, jnp.int32)
+            .at[dst.ravel()]
+            .set(gidx.ravel().astype(jnp.int32), mode="drop")
+        )
 
     # -- vertex positions --------------------------------------------------
     valid_v = edge_idx < 3 * n3
@@ -197,45 +216,64 @@ def marching_cubes(level: jnp.ndarray, max_verts: int, max_faces: int,
     tri_in_block = ntri.reshape(nb, BS, nb, BS, nb, BS).sum(axis=(1, 3, 5)).ravel()
     num_faces = jnp.sum(tri_in_block)
     fblock_mask = tri_in_block > 0
-    fblk_ids, n_fblocks = _compact_blocks(fblock_mask, block_capacity)
-    fblk_valid = fblk_ids < NB
-    fb_safe = jnp.where(fblk_valid, fblk_ids, 0)
+    n_fblocks = jnp.sum(fblock_mask.astype(jnp.int32))
 
-    # exclusive cumsum of faces per block, then gather per active block
-    block_face_off = jnp.cumsum(tri_in_block) - tri_in_block  # (NB,)
-    fb_off = block_face_off[fb_safe]  # (A,)
-    fb_base = block_base[fb_safe]
-
-    cidx = fb_base[:, None] + local_off[None, :]  # (A, 512) cell flat idx
-    cnt = ntri_flat[cidx] * fblk_valid[:, None]  # (A, 512)
-    # rank of each cell's first face within its block
-    local_rank = jnp.cumsum(cnt.reshape(cnt.shape[0], -1), axis=1) - cnt
-    first_face = fb_off[:, None] + local_rank  # (A, 512)
-
-    # two-stage face compaction: (1) compact ACTIVE CELLS (cells emitting
-    # >= 1 tri, <= num_faces of them), (2) expand <= maxtri slots per active
-    # cell. A one-stage scatter over (A, 512, maxtri) slots costs 5x the
-    # memory traffic for nothing - most slots are empty.
     cell_cap = max(1, max_faces // 2)
-    active_cell = cnt > 0  # (A, 512)
-    cell_rank_local = (
-        jnp.cumsum(active_cell.reshape(active_cell.shape[0], -1), axis=1)
-        - active_cell
-    )
-    cells_per_block = active_cell.sum(axis=1)  # (A,)
-    cell_base = jnp.cumsum(cells_per_block) - cells_per_block
-    num_active_cells = cells_per_block.sum()
-    cdst = jnp.where(active_cell, cell_base[:, None] + cell_rank_local, cell_cap)
-    cell_idx_c = (
-        jnp.full((cell_cap,), -1, jnp.int32)
-        .at[cdst.ravel()]
-        .set(cidx.ravel().astype(jnp.int32), mode="drop")
-    )
-    first_face_c = (
-        jnp.zeros((cell_cap,), jnp.int32)
-        .at[cdst.ravel()]
-        .set(first_face.ravel().astype(jnp.int32), mode="drop")
-    )
+    if dense:
+        # direct full-grid compaction of emitting cells
+        first_face_all = jnp.cumsum(ntri_flat) - ntri_flat  # (n3,)
+        active_cell_f = ntri_flat > 0
+        cell_rank = jnp.cumsum(active_cell_f.astype(jnp.int32)) - active_cell_f
+        num_active_cells = jnp.sum(active_cell_f.astype(jnp.int32))
+        cdst = jnp.where(active_cell_f, cell_rank, cell_cap)
+        csrc = jax.lax.broadcasted_iota(jnp.int32, (n3, 1), 0)[:, 0]
+        cell_idx_c = (
+            jnp.full((cell_cap,), -1, jnp.int32).at[cdst].set(csrc, mode="drop")
+        )
+        first_face_c = (
+            jnp.zeros((cell_cap,), jnp.int32)
+            .at[cdst]
+            .set(first_face_all.astype(jnp.int32), mode="drop")
+        )
+    else:
+        fblk_ids, _ = _compact_blocks(fblock_mask, block_capacity)
+        fblk_valid = fblk_ids < NB
+        fb_safe = jnp.where(fblk_valid, fblk_ids, 0)
+
+        # exclusive cumsum of faces per block, then gather per active block
+        block_face_off = jnp.cumsum(tri_in_block) - tri_in_block  # (NB,)
+        fb_off = block_face_off[fb_safe]  # (A,)
+        fb_base = block_base[fb_safe]
+
+        cidx = fb_base[:, None] + local_off[None, :]  # (A, 512) cell flat idx
+        cnt = ntri_flat[cidx] * fblk_valid[:, None]  # (A, 512)
+        # rank of each cell's first face within its block
+        local_rank = jnp.cumsum(cnt.reshape(cnt.shape[0], -1), axis=1) - cnt
+        first_face = fb_off[:, None] + local_rank  # (A, 512)
+
+        # two-stage face compaction: (1) compact ACTIVE CELLS (cells emitting
+        # >= 1 tri, <= num_faces of them), (2) expand <= maxtri slots per
+        # active cell. A one-stage scatter over (A, 512, maxtri) slots costs
+        # 5x the memory traffic for nothing - most slots are empty.
+        active_cell = cnt > 0  # (A, 512)
+        cell_rank_local = (
+            jnp.cumsum(active_cell.reshape(active_cell.shape[0], -1), axis=1)
+            - active_cell
+        )
+        cells_per_block = active_cell.sum(axis=1)  # (A,)
+        cell_base = jnp.cumsum(cells_per_block) - cells_per_block
+        num_active_cells = cells_per_block.sum()
+        cdst = jnp.where(active_cell, cell_base[:, None] + cell_rank_local, cell_cap)
+        cell_idx_c = (
+            jnp.full((cell_cap,), -1, jnp.int32)
+            .at[cdst.ravel()]
+            .set(cidx.ravel().astype(jnp.int32), mode="drop")
+        )
+        first_face_c = (
+            jnp.zeros((cell_cap,), jnp.int32)
+            .at[cdst.ravel()]
+            .set(first_face.ravel().astype(jnp.int32), mode="drop")
+        )
 
     cvalid = cell_idx_c >= 0
     ccell = jnp.where(cvalid, cell_idx_c, 0)

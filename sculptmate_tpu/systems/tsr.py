@@ -193,10 +193,10 @@ class TSR:
         density = query_density_grid(scene_code, weights, spec)
         return marching_cubes(density - threshold, max_verts, max_faces)
 
-    @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6, 7))
+    @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6, 7, 8))
     def _extract_packed_jit(
         self, scene_code, resolution, threshold, max_verts, max_faces, want_colors,
-        block_capacity=0,
+        block_capacity=0, dense=False,
     ):
         """Extraction + color query + transfer packing as ONE program with ONE
         output buffer: device->host round trips through tunneled TPU runtimes
@@ -207,7 +207,7 @@ class TSR:
         spec = self.grid_spec(resolution)
         density = query_density_grid(scene_code, weights, spec)
         res = marching_cubes(
-            density - threshold, max_verts, max_faces, block_capacity
+            density - threshold, max_verts, max_faces, block_capacity, dense
         )
 
         scale = 2 * self.config.radius / (resolution - 1.0)
@@ -383,18 +383,22 @@ class TSR:
             self._cap_cache = {}
         cached = self._cap_cache.get(resolution)
 
+        NB = (resolution // 8) ** 3
         out = []
         for scene_code in scene_codes:
             if cached is not None:
-                mv, mf, bc = max(max_verts, cached[0]), max(max_faces, cached[1]), cached[2]
+                mv = max(max_verts, cached[0])
+                mf = max(max_faces, cached[1])
+                bc, dense = cached[2], cached[3]
             else:
                 mv, mf = max_verts, max_faces
                 bc = default_block_capacity(resolution, mv)
+                dense = False
             while True:
                 packed = np.asarray(
                     self._extract_packed_jit(
                         scene_code, resolution, float(threshold), mv, mf,
-                        bool(has_vertex_color), bc,
+                        bool(has_vertex_color), bc, dense,
                     )
                 )  # ONE device->host transfer for the whole mesh
                 counts = np.rint(packed[0, -4:]).astype(np.int64)
@@ -404,7 +408,12 @@ class TSR:
                 def up64k(n):
                     return 65536 * -(-n // 65536)
 
-                if nblocks > bc:
+                if not dense and nblocks > 3 * NB // 5:
+                    # block indirection loses to direct scatters on dense
+                    # (noise-like) surfaces - switch compaction strategies
+                    dense = True
+                    continue
+                if not dense and nblocks > bc:
                     bc = max(bc + 1, int(nblocks * 1.2))
                     continue
                 if ncells > mf // 2:
@@ -414,7 +423,7 @@ class TSR:
                     break
                 mv = max(mv, up64k(int(1.2 * nv)))
                 mf = max(mf, up64k(int(1.2 * nf)))
-            self._cap_cache[resolution] = (mv, mf, bc)
+            self._cap_cache[resolution] = (mv, mf, bc, dense)
             cached = self._cap_cache[resolution]
 
             verts_world = packed[:, :mv].T[:nv].copy()
