@@ -260,8 +260,9 @@ class SF3D:
             compute_dtype=compute_dtype,
         )
 
-    @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4))
     def _extract_jit(self, scene_code, threshold, max_verts, max_faces):
+        # threshold is traced (recompile-free iso-level changes)
         c = self.config
         res = c.isosurface_resolution
         N = lattice_size(res)
@@ -277,7 +278,7 @@ class SF3D:
         dx, dy, dz = grids["vertex_offset"]
         return marching_tets(sdf, dx, dy, dz, res, max_verts, max_faces)
 
-    @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4))
     def _extract_packed_jit(self, scene_code, threshold, max_verts, max_faces):
         """Extraction packed into one (3, W) f32 buffer (positions scaled to
         the bbox, bit-cast faces, bit-cast counts) — one D2H round trip; see

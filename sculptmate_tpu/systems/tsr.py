@@ -184,20 +184,22 @@ class TSR:
             compute_dtype=compute_dtype,
         )
 
-    @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
+    @functools.partial(jax.jit, static_argnums=(0, 2, 4, 5))
     def _extract_jit(
         self, scene_code, resolution, threshold, max_verts, max_faces
     ) -> MCResult:
+        # threshold is traced: a new iso level must not trigger a recompile
         weights = mlp_weights_from_params(self.params["decoder"]["layers"])
         spec = self.grid_spec(resolution)
         density = query_density_grid(scene_code, weights, spec)
         return marching_cubes(density - threshold, max_verts, max_faces)
 
-    @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6, 7, 8))
+    @functools.partial(jax.jit, static_argnums=(0, 2, 4, 5, 6, 7, 8))
     def _extract_packed_jit(
         self, scene_code, resolution, threshold, max_verts, max_faces, want_colors,
         block_capacity=0, dense=False,
     ):
+        # threshold is traced: a new iso level must not trigger a recompile
         """Extraction + color query + transfer packing as ONE program with ONE
         output buffer: device->host round trips through tunneled TPU runtimes
         cost ~300 ms *each* regardless of size, so everything (positions,
