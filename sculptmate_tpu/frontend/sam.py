@@ -422,6 +422,10 @@ class SamSession:
         dim, depth, heads = sizes[variant]
         self.module = Sam(encoder_embed_dim=dim, encoder_depth=depth, encoder_heads=heads)
         if params is None:
+            from sculptmate_tpu.runtime.checkpoint import try_load_sam_params
+
+            params = try_load_sam_params(variant)
+        if params is None:
             dummy_img = jnp.zeros((1, IMG_SIZE, IMG_SIZE, 3), jnp.float32)
             dummy_pts = jnp.zeros((1, 2, 2), jnp.float32)
             dummy_lbl = jnp.zeros((1, 2), jnp.int32)

@@ -8,8 +8,10 @@ its reference counterpart (input size, normalization, min-max rescale,
 LANCZOS resize back — e.g. ``sessions/u2net.py:16-46``,
 ``sessions/dis_anime.py:25-45``, ``sessions/u2net_cloth_seg.py:58-145``).
 
-The SAM session (prompt-driven segmentation, ``sessions/sam.py``) is not yet
-implemented on JAX; requesting it raises with a clear message.
+The SAM session (prompt-driven segmentation, ``sessions/sam.py:133-330``) is
+fully implemented in flax (``frontend/sam.py``: windowed-attention ViT image
+encoder, prompt encoder, two-way mask decoder) and registered as
+``sam`` / ``sam_prompt``.
 """
 
 from __future__ import annotations

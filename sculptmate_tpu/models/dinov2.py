@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from sculptmate_tpu.ops.attention import dot_product_attention
+from sculptmate_tpu.ops.resize import torch_bicubic_matrix
 
 from sculptmate_tpu.models.vit import IMAGENET_MEAN, IMAGENET_STD
 
@@ -103,15 +104,20 @@ class Dinov2Layer(nn.Module):
 
 
 def _interp_pos_embed(pos_embed: jnp.ndarray, grid_h: int, grid_w: int) -> jnp.ndarray:
+    """Torch-exact bicubic with the vendored model's scale_factor=+0.1 hack
+    (``sf3d/models/tokenizers/dinov2.py:89-133``)."""
     cls_pos = pos_embed[:, :1]
     patch_pos = pos_embed[:, 1:]
     base = int(round(patch_pos.shape[1] ** 0.5))
     if base * base == patch_pos.shape[1] and base == grid_h == grid_w:
         return pos_embed
     C = patch_pos.shape[-1]
-    patch_pos = patch_pos.reshape(base, base, C)
-    patch_pos = jax.image.resize(patch_pos, (grid_h, grid_w, C), method="cubic")
-    return jnp.concatenate([cls_pos, patch_pos.reshape(1, grid_h * grid_w, C)], axis=1)
+    x = patch_pos.reshape(base, base, C)
+    Mh = jnp.asarray(torch_bicubic_matrix(base, grid_h, scale=(grid_h + 0.1) / base))
+    Mw = jnp.asarray(torch_bicubic_matrix(base, grid_w, scale=(grid_w + 0.1) / base))
+    x = jnp.einsum("hH,HWc->hWc", Mh, x)
+    x = jnp.einsum("wW,hWc->hwc", Mw, x)
+    return jnp.concatenate([cls_pos, x.reshape(1, grid_h * grid_w, C)], axis=1)
 
 
 class Dinov2Encoder(nn.Module):
@@ -178,6 +184,8 @@ class DINOV2SingleImageTokenizer(nn.Module):
     num_layers: int = 24
     num_heads: int = 16
     intermediate_size: int = 4096
+    patch_size: int = 14
+    base_image_size: int = 518
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -191,6 +199,8 @@ class DINOV2SingleImageTokenizer(nn.Module):
             num_layers=self.num_layers,
             num_heads=self.num_heads,
             intermediate_size=self.intermediate_size,
+            patch_size=self.patch_size,
+            base_image_size=self.base_image_size,
             dtype=self.dtype,
             name="dinov2",
         )(x, modulation_cond)

@@ -66,7 +66,8 @@ class GEGLU(nn.Module):
     def __call__(self, x):
         h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        return h * jax.nn.gelu(gate)
+        # torch F.gelu defaults to the exact erf form (basic_transformer_block.py:262-334)
+        return h * jax.nn.gelu(gate, approximate=False)
 
 
 class FeedForward(nn.Module):

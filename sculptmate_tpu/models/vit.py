@@ -7,9 +7,8 @@ intermediate 3072, patch 16, LN eps 1e-12) as flax modules:
 
 - Conv patch embedding, learned CLS token, learned position embeddings for a
   base 224^2 grid (14x14) interpolated to the actual grid (32x32 at 512^2
-  input) — ``interpolate_pos_encoding=True``. Torch uses bicubic (a=-0.75);
-  we use jax.image.resize "cubic" (Keys a=-0.5): the position table is
-  interpolated once, the small kernel difference is far below model noise.
+  input) — ``interpolate_pos_encoding=True``, torch-exact bicubic (a=-0.75,
+  ``ops/resize.py:torch_bicubic_matrix``).
 - 12 pre-LN encoder layers: LN -> MHA (qkv bias) -> +res, LN -> MLP(GELU) ->
   +res, then a final LayerNorm.
 
@@ -25,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from sculptmate_tpu.ops.attention import dot_product_attention
+from sculptmate_tpu.ops.resize import interpolate_pos_table
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
@@ -68,16 +68,17 @@ class ViTLayer(nn.Module):
 
 
 def interpolate_pos_embed(pos_embed: jnp.ndarray, grid_size: int) -> jnp.ndarray:
-    """Resize the (1, 1+P^2, C) position table to a (1, 1+grid^2, C) table."""
+    """Resize the (1, 1+P^2, C) position table to a (1, 1+grid^2, C) table.
+
+    Torch-exact bicubic (A=-0.75, align_corners=False), matching HF
+    ``ViTEmbeddings.interpolate_pos_encoding`` (interpolate_pos_encoding=True
+    at ``tsr/models/tokenizers/image.py:50``)."""
     cls_pos = pos_embed[:, :1]
     patch_pos = pos_embed[:, 1:]
     base = int(round(patch_pos.shape[1] ** 0.5))
     if base == grid_size:
         return pos_embed
-    C = patch_pos.shape[-1]
-    patch_pos = patch_pos.reshape(base, base, C)
-    patch_pos = jax.image.resize(patch_pos, (grid_size, grid_size, C), method="cubic")
-    patch_pos = patch_pos.reshape(1, grid_size * grid_size, C)
+    patch_pos = interpolate_pos_table(patch_pos[0], grid_size, grid_size)[None]
     return jnp.concatenate([cls_pos, patch_pos], axis=1)
 
 
@@ -136,8 +137,17 @@ class ViTEncoder(nn.Module):
 
 
 class DINOSingleImageTokenizer(nn.Module):
-    """ImageNet-normalize + ViT encode; returns (B, C, Nt) channels-first."""
+    """ImageNet-normalize + ViT encode; returns (B, C, Nt) channels-first.
 
+    Defaults are the reference's ViT-B/16 (``TripoSR/checkpoints/config.json``).
+    """
+
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    patch_size: int = 16
+    base_image_size: int = 224
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -146,5 +156,14 @@ class DINOSingleImageTokenizer(nn.Module):
         mean = jnp.asarray(IMAGENET_MEAN, images.dtype)
         std = jnp.asarray(IMAGENET_STD, images.dtype)
         x = (images - mean) / std
-        tokens = ViTEncoder(dtype=self.dtype, name="vit")(x)
+        tokens = ViTEncoder(
+            hidden_size=self.hidden_size,
+            num_layers=self.num_layers,
+            num_heads=self.num_heads,
+            intermediate_size=self.intermediate_size,
+            patch_size=self.patch_size,
+            base_image_size=self.base_image_size,
+            dtype=self.dtype,
+            name="vit",
+        )(x)
         return jnp.swapaxes(tokens, 1, 2)

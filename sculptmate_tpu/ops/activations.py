@@ -62,7 +62,7 @@ _REGISTRY = {
     "negative": lambda x: -x,
     "relu": jax.nn.relu,
     "silu": jax.nn.silu,
-    "gelu": jax.nn.gelu,
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),  # torch F.gelu = erf form
     "normalize_channel_last": normalize_channel_last,
     "normalize_channel_first": normalize_channel_first,
     "lin2srgb": lin2srgb,

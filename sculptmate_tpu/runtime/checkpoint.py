@@ -389,6 +389,117 @@ def load_sf3d_checkpoint(path: str) -> Dict:
 
 
 # ---------------------------------------------------------------------------
+# SAM (Segment Anything)
+
+def convert_sam_state_dict(sd: Dict[str, Any]) -> Dict:
+    """Official ``segment_anything`` torch checkpoint (sam_vit_b/l/h.pth
+    state dict — the weights the reference's ONNX encoder/decoder pair was
+    exported from, ``rembg/sessions/sam.py:133-330``) -> flax params for
+    ``frontend/sam.py:Sam``.
+
+    The mask-prompt path (``prompt_encoder.mask_downscaling.*``) is not
+    consumed: the rembg session surface only ever passes point/box prompts.
+    """
+    p: Dict = {}
+    enc = ("image_encoder",)
+
+    _conv(sd, "image_encoder.patch_embed.proj", p, enc + ("patch_embed",))
+    _set_path(p, enc + ("pos_embed",), np.asarray(sd["image_encoder.pos_embed"]))
+    n_blocks = 1 + max(
+        int(m.group(1))
+        for k in sd
+        if (m := re.match(r"image_encoder\.blocks\.(\d+)\.", k))
+    )
+    for i in range(n_blocks):
+        tb = f"image_encoder.blocks.{i}"
+        fb = enc + (f"block_{i}",)
+        _norm(sd, f"{tb}.norm1", p, fb + ("norm1",))
+        _norm(sd, f"{tb}.norm2", p, fb + ("norm2",))
+        _linear(sd, f"{tb}.attn.qkv", p, fb + ("attn", "qkv"))
+        _linear(sd, f"{tb}.attn.proj", p, fb + ("attn", "proj"))
+        for rp in ("rel_pos_h", "rel_pos_w"):
+            _set_path(p, fb + ("attn", rp), np.asarray(sd[f"{tb}.attn.{rp}"]))
+        _linear(sd, f"{tb}.mlp.lin1", p, fb + ("mlp_lin1",))
+        _linear(sd, f"{tb}.mlp.lin2", p, fb + ("mlp_lin2",))
+    _conv(sd, "image_encoder.neck.0", p, enc + ("neck_conv1",))
+    _norm(sd, "image_encoder.neck.1", p, enc + ("neck_ln1",))
+    _conv(sd, "image_encoder.neck.2", p, enc + ("neck_conv2",))
+    _norm(sd, "image_encoder.neck.3", p, enc + ("neck_ln2",))
+
+    pe = ("prompt_encoder",)
+    _set_path(
+        p, pe + ("pe_gaussian",),
+        np.asarray(sd["prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"]),
+    )
+    _set_path(
+        p, pe + ("point_embeddings",),
+        np.concatenate(
+            [np.asarray(sd[f"prompt_encoder.point_embeddings.{i}.weight"]) for i in range(4)]
+        ),
+    )
+    _set_path(
+        p, pe + ("not_a_point",),
+        np.asarray(sd["prompt_encoder.not_a_point_embed.weight"]),
+    )
+    _set_path(
+        p, pe + ("no_mask_embed",),
+        np.asarray(sd["prompt_encoder.no_mask_embed.weight"]),
+    )
+
+    md = ("mask_decoder",)
+    _set_path(p, md + ("iou_token",), np.asarray(sd["mask_decoder.iou_token.weight"]))
+    _set_path(p, md + ("mask_tokens",), np.asarray(sd["mask_decoder.mask_tokens.weight"]))
+
+    def attn(torch_prefix, path):
+        for w in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            _linear(sd, f"{torch_prefix}.{w}", p, path + (w,))
+
+    for i in range(2):
+        tl = f"mask_decoder.transformer.layers.{i}"
+        fl = md + (f"block_{i}",)
+        attn(f"{tl}.self_attn", fl + ("self_attn",))
+        attn(f"{tl}.cross_attn_token_to_image", fl + ("cross_t2i",))
+        attn(f"{tl}.cross_attn_image_to_token", fl + ("cross_i2t",))
+        for n in ("norm1", "norm2", "norm3", "norm4"):
+            _norm(sd, f"{tl}.{n}", p, fl + (n,))
+        _linear(sd, f"{tl}.mlp.lin1", p, fl + ("mlp_lin1",))
+        _linear(sd, f"{tl}.mlp.lin2", p, fl + ("mlp_lin2",))
+    attn("mask_decoder.transformer.final_attn_token_to_image", md + ("final_attn",))
+    _norm(sd, "mask_decoder.transformer.norm_final_attn", p, md + ("final_norm",))
+
+    _conv_transpose(sd, "mask_decoder.output_upscaling.0", p, md + ("upscale1",))
+    _norm(sd, "mask_decoder.output_upscaling.1", p, md + ("upscale_ln",))
+    _conv_transpose(sd, "mask_decoder.output_upscaling.3", p, md + ("upscale2",))
+
+    n_hyper = 1 + max(
+        int(m.group(1))
+        for k in sd
+        if (m := re.match(r"mask_decoder\.output_hypernetworks_mlps\.(\d+)\.", k))
+    )
+    for m_i in range(n_hyper):
+        for li in range(3):
+            _linear(
+                sd, f"mask_decoder.output_hypernetworks_mlps.{m_i}.layers.{li}",
+                p, md + (f"hyper_{m_i}_lin{li}",),
+            )
+    for li in range(3):
+        _linear(
+            sd, f"mask_decoder.iou_prediction_head.layers.{li}",
+            p, md + (f"iou_lin{li}",),
+        )
+    return p
+
+
+def load_sam_checkpoint(path: str) -> Dict:
+    """Load an official sam_vit_*.pth checkpoint and convert."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    sd = {k: v.numpy() for k, v in sd.items()}
+    return {"params": convert_sam_state_dict(sd)}
+
+
+# ---------------------------------------------------------------------------
 # u2net (ONNX)
 
 def convert_u2net_onnx(path: str) -> Optional[Dict]:
@@ -436,6 +547,18 @@ def convert_u2net_state_dict(sd: Dict[str, Any]) -> Dict:
             _conv(sd, side, params, (side,))
 
     return {"params": params, "batch_stats": stats}
+
+
+def try_load_sam_params(variant: str = "vit_b") -> Optional[Dict]:
+    """Load converted SAM weights if a sam_<variant>.pth (official torch
+    checkpoint) or native orbax dir is present under the checkpoint dir."""
+    native = os.path.join(CHECKPOINT_DIR, f"sam_{variant}_flax")
+    if os.path.isdir(native):
+        return load_native(native)
+    pth = os.path.join(CHECKPOINT_DIR, f"sam_{variant}.pth")
+    if os.path.isfile(pth):
+        return load_sam_checkpoint(pth)
+    return None
 
 
 def try_load_u2net_params() -> Optional[Dict]:

@@ -59,6 +59,13 @@ class TSRConfig:
     radius: float = 0.87
     density_activation: str = "exp"
     density_bias: float = -1.0
+    # image tokenizer (ViT-B/16 per TripoSR/checkpoints/config.json)
+    vit_hidden_size: int = 768
+    vit_num_layers: int = 12
+    vit_num_heads: int = 12
+    vit_intermediate_size: int = 3072
+    vit_patch_size: int = 16
+    vit_base_image_size: int = 224
 
     @classmethod
     def from_yaml(cls, path: str) -> "TSRConfig":
@@ -92,7 +99,15 @@ class TSRModule(nn.Module):
 
     def setup(self):
         c = self.config
-        self.image_tokenizer = DINOSingleImageTokenizer(dtype=self.dtype)
+        self.image_tokenizer = DINOSingleImageTokenizer(
+            hidden_size=c.vit_hidden_size,
+            num_layers=c.vit_num_layers,
+            num_heads=c.vit_num_heads,
+            intermediate_size=c.vit_intermediate_size,
+            patch_size=c.vit_patch_size,
+            base_image_size=c.vit_base_image_size,
+            dtype=self.dtype,
+        )
         self.tokenizer = Triplane1DTokenizer(c.plane_size, c.num_channels)
         self.backbone = Transformer1D(
             in_channels=c.num_channels,

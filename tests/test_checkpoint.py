@@ -187,3 +187,125 @@ def test_tsr_state_dict_conversion_shapes():
     # and it actually runs
     out = module.apply({"params": converted}, jnp.zeros((1, 32, 32, 3)))
     assert out.shape == (1, 3, 8, 8, 8)
+
+
+def test_sam_checkpoint_conversion_roundtrip():
+    """convert_sam_state_dict maps the official segment_anything checkpoint
+    layout (sam_vit_*.pth) onto frontend/sam.py's param tree: synthesize a
+    torch-style state dict by inverse-mapping a small Sam's params, convert,
+    and require the exact tree back (catches key-map or transpose drift)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sculptmate_tpu.frontend.sam import Sam
+    from sculptmate_tpu.runtime.checkpoint import convert_sam_state_dict
+
+    module = Sam(encoder_embed_dim=32, encoder_depth=2, encoder_heads=2)
+    variables = module.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 3)),
+        jnp.zeros((1, 2, 2)),
+        jnp.zeros((1, 2), jnp.int32),
+    )
+    params = jax.tree.map(np.asarray, variables["params"])
+
+    sd = {}
+
+    def lin(flax_leaf, prefix):
+        sd[f"{prefix}.weight"] = flax_leaf["kernel"].T.copy()
+        if "bias" in flax_leaf:
+            sd[f"{prefix}.bias"] = flax_leaf["bias"].copy()
+
+    def norm(flax_leaf, prefix):
+        sd[f"{prefix}.weight"] = flax_leaf["scale"].copy()
+        sd[f"{prefix}.bias"] = flax_leaf["bias"].copy()
+
+    def conv(flax_leaf, prefix):
+        sd[f"{prefix}.weight"] = flax_leaf["kernel"].transpose(3, 2, 0, 1).copy()
+        if "bias" in flax_leaf:
+            sd[f"{prefix}.bias"] = flax_leaf["bias"].copy()
+
+    def convt(flax_leaf, prefix):
+        sd[f"{prefix}.weight"] = (
+            flax_leaf["kernel"][::-1, ::-1].transpose(2, 3, 0, 1).copy()
+        )
+        if "bias" in flax_leaf:
+            sd[f"{prefix}.bias"] = flax_leaf["bias"].copy()
+
+    enc = params["image_encoder"]
+    conv(enc["patch_embed"], "image_encoder.patch_embed.proj")
+    sd["image_encoder.pos_embed"] = enc["pos_embed"].copy()
+    for i in range(2):
+        b = enc[f"block_{i}"]
+        tb = f"image_encoder.blocks.{i}"
+        norm(b["norm1"], f"{tb}.norm1")
+        norm(b["norm2"], f"{tb}.norm2")
+        lin(b["attn"]["qkv"], f"{tb}.attn.qkv")
+        lin(b["attn"]["proj"], f"{tb}.attn.proj")
+        sd[f"{tb}.attn.rel_pos_h"] = b["attn"]["rel_pos_h"].copy()
+        sd[f"{tb}.attn.rel_pos_w"] = b["attn"]["rel_pos_w"].copy()
+        lin(b["mlp_lin1"], f"{tb}.mlp.lin1")
+        lin(b["mlp_lin2"], f"{tb}.mlp.lin2")
+    conv(enc["neck_conv1"], "image_encoder.neck.0")
+    norm(enc["neck_ln1"], "image_encoder.neck.1")
+    conv(enc["neck_conv2"], "image_encoder.neck.2")
+    norm(enc["neck_ln2"], "image_encoder.neck.3")
+
+    pe = params["prompt_encoder"]
+    sd["prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"] = pe["pe_gaussian"].copy()
+    for i in range(4):
+        sd[f"prompt_encoder.point_embeddings.{i}.weight"] = pe["point_embeddings"][i : i + 1].copy()
+    sd["prompt_encoder.not_a_point_embed.weight"] = pe["not_a_point"].copy()
+    sd["prompt_encoder.no_mask_embed.weight"] = pe["no_mask_embed"].copy()
+
+    md = params["mask_decoder"]
+    sd["mask_decoder.iou_token.weight"] = md["iou_token"].copy()
+    sd["mask_decoder.mask_tokens.weight"] = md["mask_tokens"].copy()
+    for i in range(2):
+        b = md[f"block_{i}"]
+        tl = f"mask_decoder.transformer.layers.{i}"
+        for mine, theirs in (
+            ("self_attn", "self_attn"),
+            ("cross_t2i", "cross_attn_token_to_image"),
+            ("cross_i2t", "cross_attn_image_to_token"),
+        ):
+            for w in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                lin(b[mine][w], f"{tl}.{theirs}.{w}")
+        for n in ("norm1", "norm2", "norm3", "norm4"):
+            norm(b[n], f"{tl}.{n}")
+        lin(b["mlp_lin1"], f"{tl}.mlp.lin1")
+        lin(b["mlp_lin2"], f"{tl}.mlp.lin2")
+    for w in ("q_proj", "k_proj", "v_proj", "out_proj"):
+        lin(md["final_attn"][w], f"mask_decoder.transformer.final_attn_token_to_image.{w}")
+    norm(md["final_norm"], "mask_decoder.transformer.norm_final_attn")
+    convt(md["upscale1"], "mask_decoder.output_upscaling.0")
+    norm(md["upscale_ln"], "mask_decoder.output_upscaling.1")
+    convt(md["upscale2"], "mask_decoder.output_upscaling.3")
+    for m_i in range(4):
+        for li in range(3):
+            lin(md[f"hyper_{m_i}_lin{li}"], f"mask_decoder.output_hypernetworks_mlps.{m_i}.layers.{li}")
+    for li in range(3):
+        lin(md[f"iou_lin{li}"], f"mask_decoder.iou_prediction_head.layers.{li}")
+
+    converted = convert_sam_state_dict(sd)
+
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = jax.tree_util.tree_leaves_with_path(converted)
+    keys_a = {jax.tree_util.keystr(k) for k, _ in flat_a}
+    keys_b = {jax.tree_util.keystr(k) for k, _ in flat_b}
+    assert keys_a == keys_b, keys_a ^ keys_b
+    b_by_key = {jax.tree_util.keystr(k): v for k, v in flat_b}
+    for k, v in flat_a:
+        np.testing.assert_array_equal(np.asarray(v), b_by_key[jax.tree_util.keystr(k)], err_msg=jax.tree_util.keystr(k))
+
+    # converted params drive the module (shape check via abstract eval)
+    jax.eval_shape(
+        lambda p: module.apply(
+            {"params": p},
+            jnp.zeros((1, 64, 64, 3)),
+            jnp.zeros((1, 2, 2)),
+            jnp.zeros((1, 2), jnp.int32),
+        ),
+        converted,
+    )
