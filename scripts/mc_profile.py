@@ -45,7 +45,7 @@ def main():
         mlp_weights_from_params,
         query_density_grid,
     )
-    from sculptmate_tpu.geometry import marching_cubes as mc
+    import sculptmate_tpu.geometry.marching_cubes as mc
 
     print(f"# device: {jax.devices()[0]}, R={R}", file=sys.stderr)
     tsr = TSR(dtype=jnp.bfloat16)

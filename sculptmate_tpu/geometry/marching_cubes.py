@@ -21,6 +21,12 @@ Outputs are fixed-capacity (``max_verts`` / ``max_faces``) with exact counts;
 ``marching_cubes_host`` slices on the host and retries on overflow (capacity
 overflow is detected, never silently truncated).
 
+The domain may be rectangular (Rx, Ry, Rz) — each dim a multiple of 8. The
+optional ``valid_x`` data argument masks which x-cells may emit geometry
+(default: all but the +x boundary), which is what lets the grid-axis-sharded
+(SP) extraction run this same program per x-slab with a one-plane halo
+(``parallel/farm.py:sharded_extract``).
+
 Conventions: ``level > 0`` is inside; vertices are in lattice index coords
 (divide by R-1 for the reference's [0, 1] range); faces are wound so normals
 point away from the inside (toward decreasing level).
@@ -28,7 +34,7 @@ point away from the inside (toward decreasing level).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -70,17 +76,19 @@ class MCResult(NamedTuple):
         return jnp.stack([self.fa, self.fb, self.fc], axis=-1)
 
 
-def _block_local_offsets(R: int) -> np.ndarray:
-    """Flat offsets of the 8^3 block cells within the (R,R,R) flat layout."""
+def _block_local_offsets(RY: int, RZ: int) -> np.ndarray:
+    """Flat offsets of the 8^3 block cells within the (RX,RY,RZ) flat layout."""
     oi, oj, ok = np.meshgrid(np.arange(BS), np.arange(BS), np.arange(BS), indexing="ij")
-    return ((oi * R + oj) * R + ok).reshape(-1).astype(np.int32)
+    return (oi * (RY * RZ) + oj * RZ + ok).reshape(-1).astype(np.int32)
 
 
-def _block_bases(R: int) -> np.ndarray:
+def _block_bases(RX: int, RY: int, RZ: int) -> np.ndarray:
     """Flat base index of each block, ordered by block id."""
-    nb = R // BS
-    bi, bj, bk = np.meshgrid(np.arange(nb), np.arange(nb), np.arange(nb), indexing="ij")
-    return ((bi * R + bj) * R + bk).reshape(-1).astype(np.int32) * BS
+    nbx, nby, nbz = RX // BS, RY // BS, RZ // BS
+    bi, bj, bk = np.meshgrid(np.arange(nbx), np.arange(nby), np.arange(nbz), indexing="ij")
+    return (
+        (bi * (RY * RZ) + bj * RZ + bk * 1).reshape(-1).astype(np.int64) * BS
+    ).astype(np.int32)
 
 
 def _compact_blocks(block_mask_flat: jnp.ndarray, cap: int):
@@ -91,42 +99,57 @@ def _compact_blocks(block_mask_flat: jnp.ndarray, cap: int):
     return ids, count
 
 
-def marching_cubes(level: jnp.ndarray, max_verts: int, max_faces: int,
-                   block_capacity: int = 0, dense: bool = False) -> MCResult:
-    """level: (R, R, R) float32, R divisible by 8. Jittable, static shapes.
+def marching_cubes(
+    level: jnp.ndarray,
+    max_verts: int,
+    max_faces: int,
+    block_capacity: int = 0,
+    dense: bool = False,
+    valid_x: Optional[jnp.ndarray] = None,
+) -> MCResult:
+    """level: (RX, RY, RZ) float32, each dim divisible by 8. Jittable, static
+    shapes.
 
     ``dense=True`` compacts with direct full-grid scatters instead of the
     active-block gather+scatter — faster when a large fraction (>~20%) of
     blocks is active (noise-like fields); the block path wins on ordinary
     objects where the surface touches a few percent of blocks.
+
+    ``valid_x``: optional (RX,) bool — cells (and x-cut edges) at x rows where
+    it is False emit nothing. Defaults to ``x < RX - 1``. y/z cut edges are
+    never x-masked (cells reference y/z edges on their +x face plane).
     """
-    R = level.shape[0]
-    assert R % BS == 0, f"resolution {R} must be divisible by {BS}"
-    n3 = R * R * R
-    nb = R // BS
-    NB = nb * nb * nb
+    RX, RY, RZ = level.shape
+    assert RX % BS == 0 and RY % BS == 0 and RZ % BS == 0, level.shape
+    n3 = RX * RY * RZ
+    syz = RY * RZ
+    nbx, nby, nbz = RX // BS, RY // BS, RZ // BS
+    NB = nbx * nby * nbz
     if block_capacity <= 0:
-        block_capacity = default_block_capacity(R, max_verts)
+        block_capacity = default_block_capacity(max(RX, RY, RZ), max_verts)
 
     tri_table_np, tri_count_np, maxtri = build_tables()
     corner_tables = [jnp.asarray(tri_table_np[:, :, c].reshape(-1)) for c in range(3)]
     tri_count_tab = jnp.asarray(tri_count_np)
     edge_axis = jnp.asarray(EDGE_AXIS)
     edge_off = [jnp.asarray(EDGE_OFFSET[:, d]) for d in range(3)]
-    local_off = jnp.asarray(_block_local_offsets(R))  # (512,)
-    block_base = jnp.asarray(_block_bases(R))  # (NB,)
+    local_off = jnp.asarray(_block_local_offsets(RY, RZ))  # (512,)
+    block_base = jnp.asarray(_block_bases(RX, RY, RZ))  # (NB,)
 
     inside = level > 0
+    if valid_x is None:
+        valid_x = jnp.arange(RX) < RX - 1
 
     # -- cut-edge masks (elementwise) -------------------------------------
     def cut_mask(axis: int) -> jnp.ndarray:
-        m = jnp.zeros((R, R, R), bool)
+        m = jnp.zeros((RX, RY, RZ), bool)
         if axis == 0:
-            m = m.at[: R - 1].set(inside[:-1] != inside[1:])
+            m = m.at[: RX - 1].set(inside[:-1] != inside[1:])
+            m = m & valid_x[:, None, None]
         elif axis == 1:
-            m = m.at[:, : R - 1].set(inside[:, :-1] != inside[:, 1:])
+            m = m.at[:, : RY - 1].set(inside[:, :-1] != inside[:, 1:])
         else:
-            m = m.at[:, :, : R - 1].set(inside[:, :, :-1] != inside[:, :, 1:])
+            m = m.at[:, :, : RZ - 1].set(inside[:, :, :-1] != inside[:, :, 1:])
         return m
 
     masks = [cut_mask(a) for a in range(3)]
@@ -139,7 +162,7 @@ def marching_cubes(level: jnp.ndarray, max_verts: int, max_faces: int,
     # -- active vertex blocks: (3, NB) any-reduce -------------------------
     def block_any(m):
         return (
-            m.reshape(nb, BS, nb, BS, nb, BS).any(axis=(1, 3, 5)).ravel()
+            m.reshape(nbx, BS, nby, BS, nbz, BS).any(axis=(1, 3, 5)).ravel()
         )
 
     vblock_mask = jnp.concatenate([block_any(m) for m in masks])  # (3 NB,)
@@ -179,13 +202,13 @@ def marching_cubes(level: jnp.ndarray, max_verts: int, max_faces: int,
     safe_idx = jnp.where(valid_v, edge_idx, 0)
     axis = safe_idx // n3
     lin = safe_idx % n3
-    i = lin // (R * R)
-    j = (lin // R) % R
-    k = lin % R
+    i = lin // syz
+    j = (lin // RZ) % RY
+    k = lin % RZ
 
     level_flat = level.ravel()
     l0 = level_flat[lin]
-    step = jnp.where(axis == 0, R * R, jnp.where(axis == 1, R, 1))
+    step = jnp.where(axis == 0, syz, jnp.where(axis == 1, RZ, 1))
     l1 = level_flat[jnp.minimum(lin + step, n3 - 1)]
     denom = l0 - l1
     t = jnp.clip(l0 / jnp.where(denom == 0, 1.0, denom), 0.0, 1.0)
@@ -194,26 +217,25 @@ def marching_cubes(level: jnp.ndarray, max_verts: int, max_faces: int,
     vy = jnp.where(valid_v, j.astype(jnp.float32) + t * (axis == 1), 0.0)
     vz = jnp.where(valid_v, k.astype(jnp.float32) + t * (axis == 2), 0.0)
 
-    # -- cell cases (elementwise over the (R-1)^3 cell grid, padded to R^3) -
+    # -- cell cases (elementwise over the cell grid, padded to R^3) --------
     ins = inside.astype(jnp.int32)
-    pad = jnp.pad(ins, ((0, 1), (0, 1), (0, 1)))  # cells at i=R-1 see outside 0
-    case = jnp.zeros((R, R, R), jnp.int32)
+    pad = jnp.pad(ins, ((0, 1), (0, 1), (0, 1)))  # +boundary cells see outside 0
+    case = jnp.zeros((RX, RY, RZ), jnp.int32)
     for c in range(8):
         ox, oy, oz = c & 1, (c >> 1) & 1, (c >> 2) & 1
-        case = case + (pad[ox : ox + R, oy : oy + R, oz : oz + R] << c)
-    # cells on the +boundary are invalid: mask their triangle count to 0
-    ival = jnp.arange(R)
+        case = case + (pad[ox : ox + RX, oy : oy + RY, oz : oz + RZ] << c)
+    # cells on the +boundary (or masked x rows) are invalid: tri count -> 0
     cell_valid = (
-        (ival[:, None, None] < R - 1)
-        & (ival[None, :, None] < R - 1)
-        & (ival[None, None, :] < R - 1)
+        valid_x[:, None, None]
+        & (jnp.arange(RY)[None, :, None] < RY - 1)
+        & (jnp.arange(RZ)[None, None, :] < RZ - 1)
     )
-    ntri = jnp.where(cell_valid, tri_count_tab[case], 0)  # (R, R, R)
+    ntri = jnp.where(cell_valid, tri_count_tab[case], 0)  # (RX, RY, RZ)
     ntri_flat = ntri.ravel()
     case_flat = case.ravel()
 
     # block-level cumulative face offsets
-    tri_in_block = ntri.reshape(nb, BS, nb, BS, nb, BS).sum(axis=(1, 3, 5)).ravel()
+    tri_in_block = ntri.reshape(nbx, BS, nby, BS, nbz, BS).sum(axis=(1, 3, 5)).ravel()
     num_faces = jnp.sum(tri_in_block)
     fblock_mask = tri_in_block > 0
     n_fblocks = jnp.sum(fblock_mask.astype(jnp.int32))
@@ -297,9 +319,9 @@ def marching_cubes(level: jnp.ndarray, max_verts: int, max_faces: int,
     tk = jnp.where(valid_f, tri_key, 0)
     cell = tk // maxtri
     slot = tk % maxtri
-    ci = cell // (R * R)
-    cj = (cell // R) % R
-    ck = cell % R
+    ci = cell // syz
+    cj = (cell // RZ) % RY
+    ck = cell % RZ
     tkey = case_flat[cell] * maxtri + slot
 
     def face_corner(c: int) -> jnp.ndarray:
@@ -308,7 +330,7 @@ def marching_cubes(level: jnp.ndarray, max_verts: int, max_faces: int,
         gi = ci + edge_off[0][le]
         gj = cj + edge_off[1][le]
         gk = ck + edge_off[2][le]
-        gedge = ax * n3 + (gi * R + gj) * R + gk
+        gedge = ax * n3 + (gi * RY + gj) * RZ + gk
         return jnp.where(valid_f, vid[gedge], 0).astype(jnp.int32)
 
     fa, fb, fc = face_corner(0), face_corner(1), face_corner(2)
@@ -326,12 +348,13 @@ def marching_cubes_host(
     retrying with doubled capacities (verts/faces/blocks) on overflow."""
     import jax
 
-    R = int(level.shape[0])
-    if R % BS:
-        # pad to a block multiple with empty space
-        pad = BS - R % BS
-        level = jnp.pad(jnp.asarray(level), ((0, pad),) * 3, constant_values=-1.0)
-        R = R + pad
+    level = jnp.asarray(level)
+    pads = [(-int(s)) % BS for s in level.shape]
+    if any(pads):
+        level = jnp.pad(
+            level, tuple((0, p) for p in pads), constant_values=-1.0
+        )
+    R = int(max(level.shape))
     if max_verts <= 0:
         max_verts = 32 * R * R
     if max_faces <= 0:

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from sculptmate_tpu.ops.attention import dot_product_attention
+from sculptmate_tpu.ops.sharding import replicate_tokens, shard_heads, shard_hidden
 
 
 class Attention(nn.Module):
@@ -36,6 +37,7 @@ class Attention(nn.Module):
     cross_attention_dim: Optional[int] = None
     bias: bool = False
     out_bias: bool = True
+    tp_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -49,23 +51,27 @@ class Attention(nn.Module):
 
         B, Nq, _ = q.shape
         Nk = k.shape[1]
-        q = q.reshape(B, Nq, self.heads, self.dim_head)
-        k = k.reshape(B, Nk, self.heads, self.dim_head)
-        v = v.reshape(B, Nk, self.heads, self.dim_head)
+        q = shard_heads(q.reshape(B, Nq, self.heads, self.dim_head), self.tp_axis)
+        k = shard_heads(k.reshape(B, Nk, self.heads, self.dim_head), self.tp_axis)
+        v = shard_heads(v.reshape(B, Nk, self.heads, self.dim_head), self.tp_axis)
 
         out = dot_product_attention(q, k, v)
         out = out.reshape(B, Nq, inner)
-        return nn.Dense(inner, use_bias=self.out_bias, dtype=self.dtype, name="to_out")(out)
+        out = nn.Dense(inner, use_bias=self.out_bias, dtype=self.dtype, name="to_out")(out)
+        return replicate_tokens(out, self.tp_axis)
 
 
 class GEGLU(nn.Module):
     dim_out: int
+    tp_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
+        h = shard_hidden(h, self.tp_axis)
+        gate = shard_hidden(gate, self.tp_axis)
         # torch F.gelu defaults to the exact erf form (basic_transformer_block.py:262-334)
         return h * jax.nn.gelu(gate, approximate=False)
 
@@ -73,13 +79,15 @@ class GEGLU(nn.Module):
 class FeedForward(nn.Module):
     dim: int
     mult: int = 4
+    tp_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         inner = self.dim * self.mult
-        x = GEGLU(inner, dtype=self.dtype, name="net_0")(x)
-        return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(x)
+        x = GEGLU(inner, tp_axis=self.tp_axis, dtype=self.dtype, name="net_0")(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="net_2")(x)
+        return replicate_tokens(x, self.tp_axis)
 
 
 class BasicTransformerBlock(nn.Module):
@@ -92,13 +100,15 @@ class BasicTransformerBlock(nn.Module):
     heads: int
     dim_head: int
     cross_attention_dim: Optional[int] = None
+    tp_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, encoder_hidden_states=None):
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         x = x + Attention(
-            self.dim, self.heads, self.dim_head, dtype=self.dtype, name="attn1"
+            self.dim, self.heads, self.dim_head, tp_axis=self.tp_axis,
+            dtype=self.dtype, name="attn1"
         )(h)
 
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
@@ -107,12 +117,13 @@ class BasicTransformerBlock(nn.Module):
             self.heads,
             self.dim_head,
             cross_attention_dim=self.cross_attention_dim,
+            tp_axis=self.tp_axis,
             dtype=self.dtype,
             name="attn2",
         )(h, encoder_hidden_states)
 
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
-        x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+        x = x + FeedForward(self.dim, tp_axis=self.tp_axis, dtype=self.dtype, name="ff")(h)
         return x
 
 
@@ -129,6 +140,7 @@ class Transformer1D(nn.Module):
     num_layers: int = 16
     cross_attention_dim: Optional[int] = 768
     norm_num_groups: int = 32
+    tp_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -150,6 +162,7 @@ class Transformer1D(nn.Module):
                 self.num_attention_heads,
                 self.attention_head_dim,
                 cross_attention_dim=self.cross_attention_dim,
+                tp_axis=self.tp_axis,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x, encoder_hidden_states)

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from sculptmate_tpu.ops.attention import dot_product_attention
+from sculptmate_tpu.ops.sharding import replicate_tokens, shard_heads
 
 from sculptmate_tpu.models.transformer import FeedForward
 
@@ -37,6 +38,7 @@ class CrossAttention(nn.Module):
     kv_dim: Optional[int] = None
     num_heads: int = 16
     qkv_bias: bool = False
+    tp_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -47,11 +49,12 @@ class CrossAttention(nn.Module):
         v = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype, name="wv")(x_kv)
         B, Nq, _ = q.shape
         Nk = k.shape[1]
-        q = q.reshape(B, Nq, self.num_heads, head_dim)
-        k = k.reshape(B, Nk, self.num_heads, head_dim)
-        v = v.reshape(B, Nk, self.num_heads, head_dim)
+        q = shard_heads(q.reshape(B, Nq, self.num_heads, head_dim), self.tp_axis)
+        k = shard_heads(k.reshape(B, Nk, self.num_heads, head_dim), self.tp_axis)
+        v = shard_heads(v.reshape(B, Nk, self.num_heads, head_dim), self.tp_axis)
         out = dot_product_attention(q, k, v).reshape(B, Nq, self.dim)
-        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+        return replicate_tokens(out, self.tp_axis)
 
 
 class BasicBlock(nn.Module):
@@ -62,6 +65,7 @@ class BasicBlock(nn.Module):
     kv_dim: Optional[int] = None
     num_heads: int = 16
     qkv_bias: bool = False
+    tp_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -69,15 +73,15 @@ class BasicBlock(nn.Module):
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(z)
         z = z + CrossAttention(
             self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
-            dtype=self.dtype, name="attn1",
+            tp_axis=self.tp_axis, dtype=self.dtype, name="attn1",
         )(h, h)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(z)
         z = z + CrossAttention(
             self.dim, kv_dim=self.kv_dim, num_heads=self.num_heads,
-            qkv_bias=self.qkv_bias, dtype=self.dtype, name="attn2",
+            qkv_bias=self.qkv_bias, tp_axis=self.tp_axis, dtype=self.dtype, name="attn2",
         )(h, x if x is not None else h)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(z)
-        z = z + FeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+        z = z + FeedForward(self.dim, tp_axis=self.tp_axis, dtype=self.dtype, name="ff")(h)
         return z
 
 
@@ -89,6 +93,7 @@ class FuseBlock(nn.Module):
     num_heads: int = 16
     qkv_bias: bool = False
     norm_x_input: bool = False
+    tp_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -98,10 +103,10 @@ class FuseBlock(nn.Module):
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_z1")(z)
         z = z + CrossAttention(
             self.dim_z, kv_dim=self.dim_x, num_heads=self.num_heads,
-            qkv_bias=self.qkv_bias, dtype=self.dtype, name="attn",
+            qkv_bias=self.qkv_bias, tp_axis=self.tp_axis, dtype=self.dtype, name="attn",
         )(h, x)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_z2")(z)
-        z = z + FeedForward(self.dim_z, dtype=self.dtype, name="ff")(h)
+        z = z + FeedForward(self.dim_z, tp_axis=self.tp_axis, dtype=self.dtype, name="ff")(h)
         return z
 
 
@@ -113,22 +118,26 @@ class TwoStreamBlock(nn.Module):
     qkv_bias: bool = False
     norm_x_input: bool = False
     dim_cross: Optional[int] = None
+    tp_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, latent, input, cross_input):
         latent = FuseBlock(
             self.dim_latent, self.dim_input, self.num_heads, self.qkv_bias,
-            self.norm_x_input, dtype=self.dtype, name="fuse_block_in",
+            self.norm_x_input, tp_axis=self.tp_axis, dtype=self.dtype,
+            name="fuse_block_in",
         )(latent, input)
         for i in range(self.num_basic_blocks):
             latent = BasicBlock(
                 self.dim_latent, kv_dim=self.dim_cross, num_heads=self.num_heads,
-                qkv_bias=self.qkv_bias, dtype=self.dtype, name=f"transformer_block_{i}",
+                qkv_bias=self.qkv_bias, tp_axis=self.tp_axis, dtype=self.dtype,
+                name=f"transformer_block_{i}",
             )(latent, cross_input)
         input = FuseBlock(
             self.dim_input, self.dim_latent, self.num_heads, self.qkv_bias,
-            self.norm_x_input, dtype=self.dtype, name="fuse_block_out",
+            self.norm_x_input, tp_axis=self.tp_axis, dtype=self.dtype,
+            name="fuse_block_out",
         )(input, latent)
         return latent, input
 
@@ -148,6 +157,7 @@ class TwoStreamInterleaveTransformer(nn.Module):
     norm_x_input: bool = False
     cross_attention_dim: int = 1024
     mix_latent: bool = True
+    tp_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -195,6 +205,7 @@ class TwoStreamInterleaveTransformer(nn.Module):
                 qkv_bias=self.attention_bias,
                 norm_x_input=self.norm_x_input,
                 dim_cross=self.cross_attention_dim,
+                tp_axis=self.tp_axis,
                 dtype=self.dtype,
                 name=f"main_blocks_{i}",
             )(latent_tokens, triplane_tokens, encoder_hidden_states)

@@ -78,12 +78,18 @@ def query_density_grid(
     triplane: jnp.ndarray,
     weights: List[Tuple[jnp.ndarray, jnp.ndarray]],
     spec: DensityGridSpec,
+    x_coords: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Evaluate activated density on the full R^3 lattice.
 
     triplane: (3, C, H, W). Returns (R, R, R) float32, indexed [x, y, z] to
     match the reference's ``verts.reshape(R, R, R)`` ordering
     (meshgrid indexing="ij", x outermost).
+
+    ``x_coords``: optional normalized [-1,1] coords replacing the full
+    lattice along x — evaluates an (len(x_coords), R, R) x-slab, the
+    building block of the grid-axis-sharded (SP) extraction
+    (``parallel/farm.py:sharded_extract``).
     """
     R = spec.resolution
     cd = spec.compute_dtype
@@ -91,8 +97,10 @@ def query_density_grid(
     density_act = get_activation(spec.density_activation)
 
     coords = lattice_coords(R)
+    cx = coords if x_coords is None else x_coords
+    RX = cx.shape[0]
     Fxy, Fxz, Fyz = sample_triplane_regular_grid(
-        triplane, coords, coords, coords, spec.align_corners
+        triplane, cx, coords, coords, spec.align_corners
     )  # (C, Nv, Nu): Fxy[c, j, i], Fxz[c, k, i], Fyz[c, k, j]
 
     W1, b1 = weights[0]
@@ -107,11 +115,11 @@ def query_density_grid(
 
     slab = spec.slab
     assert R % slab == 0, f"resolution {R} must be divisible by slab {slab}"
-    Bm = Bm.reshape(R // slab, slab, R, -1)
+    Bm = Bm.reshape(R // slab, slab, RX, -1)
     Cm = Cm.reshape(R // slab, slab, R, -1)
 
     def do_slab(args):
-        b_s, c_s = args  # (slab, R, 64) each
+        b_s, c_s = args  # (slab, RX, 64) / (slab, R, 64)
         # h1[i, j, z] = A[i, j] + b_s[z, i] + c_s[z, j]
         h = (
             A[None, :, :, :]
@@ -123,7 +131,7 @@ def query_density_grid(
         return out[..., 0].astype(jnp.float32)  # density channel
 
     dens = jax.lax.map(do_slab, (Bm, Cm))  # (R//slab, slab, R_i, R_j)
-    dens = dens.reshape(R, R, R)  # [z, x, y]
+    dens = dens.reshape(R, RX, R)  # [z, x, y]
     dens = jnp.transpose(dens, (1, 2, 0))  # [x, y, z]
     return density_act(dens + spec.density_bias)
 

@@ -128,6 +128,8 @@ class SF3DConfig:
 class SF3DModule(nn.Module):
     config: SF3DConfig
     dtype: jnp.dtype = jnp.float32
+    # mesh-axis name for tensor parallelism in the two-stream backbone
+    tp_axis: Optional[str] = None
 
     def setup(self):
         c = self.config
@@ -152,6 +154,7 @@ class SF3DModule(nn.Module):
             num_latents=c.num_latents,
             num_blocks=c.num_blocks,
             num_basic_blocks=c.num_basic_blocks,
+            tp_axis=self.tp_axis,
             dtype=self.dtype,
         )
         self.post_processor = PixelShuffleUpsampleNetwork(
@@ -217,9 +220,10 @@ class SF3D:
         params=None,
         seed: int = 0,
         dtype: jnp.dtype = jnp.bfloat16,
+        tp_axis: Optional[str] = None,
     ):
         self.config = config or SF3DConfig()
-        self.module = SF3DModule(self.config, dtype=dtype)
+        self.module = SF3DModule(self.config, dtype=dtype, tp_axis=tp_axis)
         if params is None:
             c = self.config
             dummy_img = jnp.zeros((1, c.cond_image_size, c.cond_image_size, 3), jnp.float32)

@@ -92,10 +92,16 @@ class TSRConfig:
 
 
 class TSRModule(nn.Module):
-    """Flax module holding all learned parameters of the TSR stack."""
+    """Flax module holding all learned parameters of the TSR stack.
+
+    ``tp_axis``: mesh-axis name for Megatron-style tensor parallelism inside
+    the backbone (attention heads / FF hidden sharded, GSPMD-inserted
+    collectives). Callers must trace under ``jax.sharding.set_mesh``.
+    """
 
     config: TSRConfig
     dtype: jnp.dtype = jnp.float32
+    tp_axis: Optional[str] = None
 
     def setup(self):
         c = self.config
@@ -115,6 +121,7 @@ class TSRModule(nn.Module):
             attention_head_dim=c.attention_head_dim,
             num_layers=c.num_layers,
             cross_attention_dim=c.cross_attention_dim,
+            tp_axis=self.tp_axis,
             dtype=self.dtype,
         )
         self.post_processor = TriplaneUpsampleNetwork(
@@ -159,9 +166,10 @@ class TSR:
         params=None,
         seed: int = 0,
         dtype: jnp.dtype = jnp.bfloat16,
+        tp_axis: Optional[str] = None,
     ):
         self.config = config or TSRConfig()
-        self.module = TSRModule(self.config, dtype=dtype)
+        self.module = TSRModule(self.config, dtype=dtype, tp_axis=tp_axis)
         if params is None:
             dummy = jnp.zeros(
                 (1, self.config.cond_image_size, self.config.cond_image_size, 3),
