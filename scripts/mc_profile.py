@@ -45,7 +45,11 @@ def main():
         mlp_weights_from_params,
         query_density_grid,
     )
-    import sculptmate_tpu.geometry.marching_cubes as mc
+    import importlib
+
+    # plain ``import ... as mc`` resolves to the *function* re-exported by
+    # geometry/__init__, not the module
+    mc = importlib.import_module("sculptmate_tpu.geometry.marching_cubes")
 
     print(f"# device: {jax.devices()[0]}, R={R}", file=sys.stderr)
     tsr = TSR(dtype=jnp.bfloat16)

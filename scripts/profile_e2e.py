@@ -64,11 +64,11 @@ def main():
     verts, faces = fetch_mesh(ext, nv, nf)
     print(f"{'D2H packed verts+faces':28s} {(time.perf_counter() - t0) * 1e3:8.1f} ms")
 
-    bucket = 1 << max(12, int(nv - 1).bit_length())
+    bucket = 1 << max(12, int(max(nv, len(verts)) - 1).bit_length())
     comps = []
     for c in range(3):
         buf = np.zeros((bucket,), np.float32)
-        buf[:nv] = verts[:, c]
+        buf[: len(verts)] = verts[:, c]
         comps.append(jnp.asarray(buf))
     colors = t("vertex colors", lambda: tsr._colors_jit(codes[0], *comps))
     t0 = time.perf_counter()

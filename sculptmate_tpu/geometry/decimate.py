@@ -31,6 +31,15 @@ def decimate(
     lib = load_native("quadric_decimate")
     if lib is not None:
         return _decimate_native(lib, verts, faces, target_ratio, aggressiveness)
+    import warnings
+
+    warnings.warn(
+        "native quadric_decimate unavailable - falling back to uniform vertex "
+        "clustering (noticeably lower output quality; check that g++ can "
+        "build geometry/native/quadric_decimate.cpp)",
+        RuntimeWarning,
+        stacklevel=2,
+    )
     return _decimate_cluster(verts, faces, target_ratio)
 
 

@@ -99,6 +99,181 @@ def _compact_blocks(block_mask_flat: jnp.ndarray, cap: int):
     return ids, count
 
 
+def _vertex_side(
+    level: jnp.ndarray,
+    inside: jnp.ndarray,
+    valid_x: jnp.ndarray,
+    max_verts: int,
+    block_capacity: int,
+    dense: bool,
+):
+    """Cut-edge detection + vid field + compaction + vertex positions.
+
+    Shared by ``marching_cubes`` (full device MC) and ``mc_wire_device`` (the
+    compact D2H wire format). Returns
+    (vx, vy, vz, t, valid_v, vid, num_verts, n_vblocks, masks).
+    """
+    RX, RY, RZ = level.shape
+    n3 = RX * RY * RZ
+    syz = RY * RZ
+    nbx, nby, nbz = RX // BS, RY // BS, RZ // BS
+    NB = nbx * nby * nbz
+    local_off = jnp.asarray(_block_local_offsets(RY, RZ))
+    block_base = jnp.asarray(_block_bases(RX, RY, RZ))
+
+    # -- cut-edge masks (elementwise) -------------------------------------
+    def cut_mask(axis: int) -> jnp.ndarray:
+        m = jnp.zeros((RX, RY, RZ), bool)
+        if axis == 0:
+            m = m.at[: RX - 1].set(inside[:-1] != inside[1:])
+            m = m & valid_x[:, None, None]
+        elif axis == 1:
+            m = m.at[:, : RY - 1].set(inside[:, :-1] != inside[:, 1:])
+        else:
+            m = m.at[:, :, : RZ - 1].set(inside[:, :, :-1] != inside[:, :, 1:])
+        return m
+
+    masks = [cut_mask(a) for a in range(3)]
+    mask_flat = jnp.concatenate([m.ravel() for m in masks])  # (3 n3,)
+
+    # -- global vertex ids -------------------------------------------------
+    vid = jnp.cumsum(mask_flat.astype(jnp.int32)) - 1
+    num_verts = vid[-1] + 1
+
+    # -- active vertex blocks: (3, NB) any-reduce -------------------------
+    def block_any(m):
+        return m.reshape(nbx, BS, nby, BS, nbz, BS).any(axis=(1, 3, 5)).ravel()
+
+    vblock_mask = jnp.concatenate([block_any(m) for m in masks])  # (3 NB,)
+    n_vblocks = jnp.sum(vblock_mask.astype(jnp.int32))
+
+    sink = max_verts
+    if dense:
+        dst = jnp.where(mask_flat, vid, sink)
+        src = jax.lax.broadcasted_iota(jnp.int32, (3 * n3, 1), 0)[:, 0]
+        edge_idx = (
+            jnp.full((max_verts,), 3 * n3, jnp.int32).at[dst].set(src, mode="drop")
+        )
+    else:
+        vblk_ids, _ = _compact_blocks(vblock_mask, block_capacity)
+        vblk_valid = vblk_ids < 3 * NB
+        vb_safe = jnp.where(vblk_valid, vblk_ids, 0)
+        vb_axis = vb_safe // NB
+        vb_base = block_base[vb_safe % NB]
+
+        # gather per-block edge data: global flat edge index (A, 512)
+        gidx = vb_axis[:, None] * n3 + vb_base[:, None] + local_off[None, :]
+        gmask = mask_flat[gidx] & vblk_valid[:, None]
+        gvid = vid[gidx]
+
+        # scatter-compact the cut-edge indices into the vertex buffer
+        dst = jnp.where(gmask, gvid, sink)
+        edge_idx = (
+            jnp.full((max_verts,), 3 * n3, jnp.int32)
+            .at[dst.ravel()]
+            .set(gidx.ravel().astype(jnp.int32), mode="drop")
+        )
+
+    # -- vertex positions --------------------------------------------------
+    valid_v = edge_idx < 3 * n3
+    safe_idx = jnp.where(valid_v, edge_idx, 0)
+    axis = safe_idx // n3
+    lin = safe_idx % n3
+    i = lin // syz
+    j = (lin // RZ) % RY
+    k = lin % RZ
+
+    level_flat = level.ravel()
+    l0 = level_flat[lin]
+    step = jnp.where(axis == 0, syz, jnp.where(axis == 1, RZ, 1))
+    l1 = level_flat[jnp.minimum(lin + step, n3 - 1)]
+    denom = l0 - l1
+    t = jnp.clip(l0 / jnp.where(denom == 0, 1.0, denom), 0.0, 1.0)
+
+    vx = jnp.where(valid_v, i.astype(jnp.float32) + t * (axis == 0), 0.0)
+    vy = jnp.where(valid_v, j.astype(jnp.float32) + t * (axis == 1), 0.0)
+    vz = jnp.where(valid_v, k.astype(jnp.float32) + t * (axis == 2), 0.0)
+    return vx, vy, vz, t, valid_v, vid, num_verts, n_vblocks, masks
+
+
+def pack_bits_u8(flags: jnp.ndarray) -> jnp.ndarray:
+    """(M,) bool with M % 8 == 0 -> (M/8,) uint8, bit b = element 8*i + b
+    (little-endian within the byte, matching the C++ wire reader)."""
+    m = flags.reshape(-1, 8).astype(jnp.uint8)
+    w = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint8)
+    return jnp.sum(m * w[None, :], axis=1, dtype=jnp.uint8)
+
+
+def mc_wire_device(
+    level: jnp.ndarray,
+    max_verts: int,
+    block_capacity: int = 0,
+    valid_x: Optional[jnp.ndarray] = None,
+    color_fn=None,
+    extra_counts: Tuple = (),
+) -> jnp.ndarray:
+    """Compact wire-format extraction: everything the HOST needs to rebuild
+    the mesh, in minimum bytes, as ONE uint8 buffer.
+
+    The tunneled D2H link is the lean path's bottleneck (~14-115 MB/s, large
+    per-round-trip latency): the full packed f32 mesh at 256^3 is ~35 MB.
+    Faces are pure table logic on the occupancy field, so we ship
+
+        [occupancy bits  n3/8 B][t lo  mv B][t hi  mv B][r][g][b  mv B each]
+        [counts: num_verts, n_vblocks, extra...  4 B each little-endian]
+
+    (~6 MB at 256^3) and rebuild faces + positions in native code
+    (``native/mc_wire.cpp``) from the same tables. Positions reconstruct to
+    |err| <= 2^-16 lattice units (t is uint16); colors are uint8.
+
+    ``color_fn``: optional trace-time callback ``(vx, vy, vz, valid_v) ->
+    (r, g, b)`` float rows in [0, 1] (e.g. a color-MLP query at the vertex
+    positions, which are in lattice index coordinates).
+
+    Returns the (W,) uint8 wire buffer.
+    """
+    RX, RY, RZ = level.shape
+    assert RX % BS == 0 and RY % BS == 0 and RZ % BS == 0, level.shape
+    n3 = RX * RY * RZ
+    assert n3 % 8 == 0
+    if block_capacity <= 0:
+        block_capacity = default_block_capacity(max(RX, RY, RZ), max_verts)
+
+    inside = level > 0
+    if valid_x is None:
+        valid_x = jnp.arange(RX) < RX - 1
+
+    vx, vy, vz, t, valid_v, _vid, num_verts, n_vblocks, _masks = _vertex_side(
+        level, inside, valid_x, max_verts, block_capacity, False
+    )
+
+    occ_bytes = pack_bits_u8(inside.ravel())  # (n3/8,)
+
+    t16 = jnp.where(
+        valid_v, jnp.round(t * 65535.0).astype(jnp.int32), 0
+    )
+    t_lo = (t16 & 0xFF).astype(jnp.uint8)
+    t_hi = (t16 >> 8).astype(jnp.uint8)
+
+    if color_fn is not None:
+        to_u8 = lambda c: jnp.clip(
+            jnp.round(c * 255.0), 0, 255
+        ).astype(jnp.uint8)
+        rgb = [to_u8(c) for c in color_fn(vx, vy, vz, valid_v)]
+    else:
+        rgb = [jnp.zeros((max_verts,), jnp.uint8)] * 3
+
+    counts = jnp.stack(
+        [num_verts, n_vblocks, *extra_counts]
+    ).astype(jnp.uint32)
+    count_bytes = jnp.stack(
+        [(counts >> (8 * b)) & 0xFF for b in range(4)], axis=1
+    ).reshape(-1).astype(jnp.uint8)
+
+    wire = jnp.concatenate([occ_bytes, t_lo, t_hi, *rgb, count_bytes])
+    return wire
+
+
 def marching_cubes(
     level: jnp.ndarray,
     max_verts: int,
@@ -140,82 +315,8 @@ def marching_cubes(
     if valid_x is None:
         valid_x = jnp.arange(RX) < RX - 1
 
-    # -- cut-edge masks (elementwise) -------------------------------------
-    def cut_mask(axis: int) -> jnp.ndarray:
-        m = jnp.zeros((RX, RY, RZ), bool)
-        if axis == 0:
-            m = m.at[: RX - 1].set(inside[:-1] != inside[1:])
-            m = m & valid_x[:, None, None]
-        elif axis == 1:
-            m = m.at[:, : RY - 1].set(inside[:, :-1] != inside[:, 1:])
-        else:
-            m = m.at[:, :, : RZ - 1].set(inside[:, :, :-1] != inside[:, :, 1:])
-        return m
-
-    masks = [cut_mask(a) for a in range(3)]
-    mask_flat = jnp.concatenate([m.ravel() for m in masks])  # (3 n3,)
-
-    # -- global vertex ids -------------------------------------------------
-    vid = jnp.cumsum(mask_flat.astype(jnp.int32)) - 1
-    num_verts = vid[-1] + 1
-
-    # -- active vertex blocks: (3, NB) any-reduce -------------------------
-    def block_any(m):
-        return (
-            m.reshape(nbx, BS, nby, BS, nbz, BS).any(axis=(1, 3, 5)).ravel()
-        )
-
-    vblock_mask = jnp.concatenate([block_any(m) for m in masks])  # (3 NB,)
-    n_vblocks = jnp.sum(vblock_mask.astype(jnp.int32))
-
-    sink = max_verts
-    if dense:
-        dst = jnp.where(mask_flat, vid, sink)
-        src = jax.lax.broadcasted_iota(jnp.int32, (3 * n3, 1), 0)[:, 0]
-        edge_idx = (
-            jnp.full((max_verts,), 3 * n3, jnp.int32)
-            .at[dst]
-            .set(src, mode="drop")
-        )
-    else:
-        vblk_ids, _ = _compact_blocks(vblock_mask, block_capacity)
-        vblk_valid = vblk_ids < 3 * NB
-        vb_safe = jnp.where(vblk_valid, vblk_ids, 0)
-        vb_axis = vb_safe // NB
-        vb_base = block_base[vb_safe % NB]
-
-        # gather per-block edge data: global flat edge index (A, 512)
-        gidx = vb_axis[:, None] * n3 + vb_base[:, None] + local_off[None, :]
-        gmask = mask_flat[gidx] & vblk_valid[:, None]
-        gvid = vid[gidx]
-
-        # scatter-compact the cut-edge indices into the vertex buffer
-        dst = jnp.where(gmask, gvid, sink)
-        edge_idx = (
-            jnp.full((max_verts,), 3 * n3, jnp.int32)
-            .at[dst.ravel()]
-            .set(gidx.ravel().astype(jnp.int32), mode="drop")
-        )
-
-    # -- vertex positions --------------------------------------------------
-    valid_v = edge_idx < 3 * n3
-    safe_idx = jnp.where(valid_v, edge_idx, 0)
-    axis = safe_idx // n3
-    lin = safe_idx % n3
-    i = lin // syz
-    j = (lin // RZ) % RY
-    k = lin % RZ
-
-    level_flat = level.ravel()
-    l0 = level_flat[lin]
-    step = jnp.where(axis == 0, syz, jnp.where(axis == 1, RZ, 1))
-    l1 = level_flat[jnp.minimum(lin + step, n3 - 1)]
-    denom = l0 - l1
-    t = jnp.clip(l0 / jnp.where(denom == 0, 1.0, denom), 0.0, 1.0)
-
-    vx = jnp.where(valid_v, i.astype(jnp.float32) + t * (axis == 0), 0.0)
-    vy = jnp.where(valid_v, j.astype(jnp.float32) + t * (axis == 1), 0.0)
-    vz = jnp.where(valid_v, k.astype(jnp.float32) + t * (axis == 2), 0.0)
+    vs = _vertex_side(level, inside, valid_x, max_verts, block_capacity, dense)
+    (vx, vy, vz, _t, valid_v, vid, num_verts, n_vblocks, masks) = vs
 
     # -- cell cases (elementwise over the cell grid, padded to R^3) --------
     ins = inside.astype(jnp.int32)

@@ -21,7 +21,17 @@ def isotropic_remesh(
     verts = np.ascontiguousarray(verts, np.float32)
     faces = np.ascontiguousarray(faces, np.int32)
     lib = load_native("isotropic_remesh")
-    if lib is None or len(faces) == 0:
+    if lib is None:
+        import warnings
+
+        warnings.warn(
+            "native isotropic_remesh unavailable - remesh is a NO-OP (check "
+            "that g++ can build geometry/native/isotropic_remesh.cpp)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return verts, faces.astype(np.int64)
+    if len(faces) == 0:
         return verts, faces.astype(np.int64)
 
     fn = lib.isotropic_remesh

@@ -136,7 +136,189 @@ def _rasterize_core(u0, v0, u1, v1, u2, v2, resolution: int, row_chunk: int):
     return jnp.transpose(rows, (1, 0, 2, 3)).reshape(4, resolution, resolution)
 
 
+TILE = 8  # binned-rasterizer tile side (texels)
+MAX_TSPAN = 4  # max face bbox span in tiles per axis on the binned path
+_PAIR_CHUNK = 8192
+
+
+def _rasterize_binned_core(
+    u0, v0, u1, v1, u2, v2, resolution: int, pair_capacity: int
+):
+    """Binned scatter-min rasterizer — O(surface) instead of O(res^2 * F).
+
+    The brute-force path tests every pixel row chunk against every face chunk
+    in its v-range (~15G barycentric tests at 512^2 x 741K faces). Here:
+
+    1. Each face gets a texel bbox -> tile bbox (8x8-texel tiles); most atlas
+       faces are sub-texel, covering 0 texel centers (no work) or 1 tile.
+    2. (face, tile) pairs are scatter-compacted into a fixed ``pair_capacity``
+       buffer (exact ``total_pairs`` returned; callers retry on overflow —
+       never silently truncated, same invariant as marching_cubes).
+    3. Pairs are processed in fixed chunks: 64 barycentric tests each, then a
+       scatter-min of the face id into the per-texel winner buffer (winner =
+       lowest covering face id, the reference rule, ``common.py:144-211``).
+    4. A cheap per-texel recovery pass recomputes the winner's barycentrics.
+
+    Returns (rast (4, res, res), total_pairs, max_tile_span); the output is
+    only valid when total_pairs <= pair_capacity and max_tile_span <=
+    MAX_TSPAN (else fall back / retry on the host).
+    """
+    F = u0.shape[0]
+    assert resolution % TILE == 0, resolution
+    T = resolution // TILE
+    s = float(resolution - 1)  # texel x center at u = x / (res-1)
+
+    # -- face -> tile bbox -------------------------------------------------
+    umin = jnp.minimum(jnp.minimum(u0, u1), u2) * s
+    umax = jnp.maximum(jnp.maximum(u0, u1), u2) * s
+    vmin = jnp.minimum(jnp.minimum(v0, v1), v2) * s
+    vmax = jnp.maximum(jnp.maximum(v0, v1), v2) * s
+    xlo = jnp.ceil(umin - 1e-3).astype(jnp.int32)
+    xhi = jnp.floor(umax + 1e-3).astype(jnp.int32)
+    ylo = jnp.ceil(vmin - 1e-3).astype(jnp.int32)
+    yhi = jnp.floor(vmax + 1e-3).astype(jnp.int32)
+    xlo = jnp.clip(xlo, 0, resolution - 1)
+    xhi = jnp.clip(xhi, -1, resolution - 1)
+    ylo = jnp.clip(ylo, 0, resolution - 1)
+    yhi = jnp.clip(yhi, -1, resolution - 1)
+
+    e1u, e1v = u1 - u0, v1 - v0
+    e2u, e2v = u2 - u0, v2 - v0
+    denom = (e1u * e1u + e1v * e1v) * (e2u * e2u + e2v * e2v) - (
+        e1u * e2u + e1v * e2v
+    ) ** 2
+    degenerate = jnp.abs(denom) < 1e-12
+
+    txlo, txhi = xlo // TILE, xhi // TILE
+    tylo, tyhi = ylo // TILE, yhi // TILE
+    sx = txhi - txlo + 1
+    sy = tyhi - tylo + 1
+    covers = (xhi >= xlo) & (yhi >= ylo) & ~degenerate
+    sx = jnp.where(covers, sx, 0)
+    sy = jnp.where(covers, sy, 0)
+    max_span = jnp.maximum(jnp.max(sx), jnp.max(sy))
+    sxc = jnp.minimum(sx, MAX_TSPAN)
+    syc = jnp.minimum(sy, MAX_TSPAN)
+    npairs = sxc * syc  # (F,)
+    # report the true (unclamped) pair total so capacity retries are exact
+    total_pairs_true = jnp.sum(sx * sy)
+
+    off = jnp.cumsum(npairs) - npairs  # (F,) exclusive
+
+    # -- scatter-compact (face, tile) pairs ---------------------------------
+    S2 = MAX_TSPAN * MAX_TSPAN
+    k = jnp.arange(S2, dtype=jnp.int32)[None, :]  # (1, S2)
+    kvalid = k < npairs[:, None]
+    sx_safe = jnp.maximum(sxc, 1)[:, None]
+    dx = k % sx_safe
+    dy = k // sx_safe
+    tid = (tylo[:, None] + dy) * T + (txlo[:, None] + dx)  # (F, S2)
+    dst = jnp.where(kvalid, off[:, None] + k, pair_capacity)
+    fid_src = jnp.broadcast_to(
+        jnp.arange(F, dtype=jnp.int32)[:, None], (F, S2)
+    )
+    pair_fid = (
+        jnp.full((pair_capacity,), F, jnp.int32)
+        .at[dst.ravel()]
+        .set(fid_src.ravel(), mode="drop")
+    )
+    pair_tid = (
+        jnp.zeros((pair_capacity,), jnp.int32)
+        .at[dst.ravel()]
+        .set(tid.ravel().astype(jnp.int32), mode="drop")
+    )
+
+    # -- chunked pair tests + scatter-min winner ----------------------------
+    SINK = jnp.int32(2**30)
+    n_chunks = pair_capacity // _PAIR_CHUNK
+    oy, ox = jnp.meshgrid(
+        jnp.arange(TILE, dtype=jnp.int32), jnp.arange(TILE, dtype=jnp.int32),
+        indexing="ij",
+    )
+    oy = oy.ravel()[None, :]  # (1, 64)
+    ox = ox.ravel()[None, :]
+
+    def chunk_body(ci, winner):
+        fid = jax.lax.dynamic_slice(pair_fid, (ci * _PAIR_CHUNK,), (_PAIR_CHUNK,))
+        tidc = jax.lax.dynamic_slice(pair_tid, (ci * _PAIR_CHUNK,), (_PAIR_CHUNK,))
+        fsafe = jnp.minimum(fid, F - 1)
+        fu0, fv0 = u0[fsafe][:, None], v0[fsafe][:, None]
+        fu1, fv1 = u1[fsafe][:, None], v1[fsafe][:, None]
+        fu2, fv2 = u2[fsafe][:, None], v2[fsafe][:, None]
+        tx = (tidc % T)[:, None]
+        ty = (tidc // T)[:, None]
+        gx = (tx * TILE + ox).astype(jnp.float32) / s  # (PC, 64) texel u
+        gy = (ty * TILE + oy).astype(jnp.float32) / s
+
+        e1u, e1v = fu1 - fu0, fv1 - fv0
+        e2u, e2v = fu2 - fu0, fv2 - fv0
+        d00 = e1u * e1u + e1v * e1v
+        d01 = e1u * e2u + e1v * e2v
+        d11 = e2u * e2u + e2v * e2v
+        den = d00 * d11 - d01 * d01
+        den_safe = jnp.where(jnp.abs(den) < 1e-12, 1.0, den)
+        pu = gx - fu0
+        pv = gy - fv0
+        d20 = pu * e1u + pv * e1v
+        d21 = pu * e2u + pv * e2v
+        bv = (d11 * d20 - d01 * d21) / den_safe
+        bw = (d00 * d21 - d01 * d20) / den_safe
+        bu = 1.0 - bv - bw
+        inside = (
+            (bu >= 0) & (bv >= 0) & (bw >= 0)
+            & (jnp.abs(den) >= 1e-12)
+            & (fid[:, None] < F)
+        )
+        key = jnp.where(inside, fid[:, None], SINK)
+        texel = (ty * TILE + oy) * resolution + (tx * TILE + ox)  # (PC, 64)
+        texel = jnp.where(inside, texel, resolution * resolution)  # drop sink
+        return winner.at[texel.ravel()].min(key.ravel(), mode="drop")
+
+    winner = jnp.full((resolution * resolution,), SINK, jnp.int32)
+    winner = jax.lax.fori_loop(0, n_chunks, chunk_body, winner)
+
+    # -- recovery: barycentrics of the winning face per texel ---------------
+    hit = winner < SINK
+    wf = jnp.where(hit, winner, 0)
+    fu0, fv0, fu1, fv1, fu2, fv2 = u0[wf], v0[wf], u1[wf], v1[wf], u2[wf], v2[wf]
+    xs = (jnp.arange(resolution * resolution, dtype=jnp.int32) % resolution).astype(
+        jnp.float32
+    ) / s
+    ys = (jnp.arange(resolution * resolution, dtype=jnp.int32) // resolution).astype(
+        jnp.float32
+    ) / s
+    e1u, e1v = fu1 - fu0, fv1 - fv0
+    e2u, e2v = fu2 - fu0, fv2 - fv0
+    d00 = e1u * e1u + e1v * e1v
+    d01 = e1u * e2u + e1v * e2v
+    d11 = e2u * e2u + e2v * e2v
+    den = d00 * d11 - d01 * d01
+    den_safe = jnp.where(jnp.abs(den) < 1e-12, 1.0, den)
+    pu = xs - fu0
+    pv = ys - fv0
+    d20 = pu * e1u + pv * e1v
+    d21 = pu * e2u + pv * e2v
+    bv = (d11 * d20 - d01 * d21) / den_safe
+    bw = (d00 * d21 - d01 * d20) / den_safe
+    bu = 1.0 - bv - bw
+    rast = jnp.stack(
+        [
+            jnp.where(hit, bu, 0.0),
+            jnp.where(hit, bv, 0.0),
+            jnp.where(hit, bw, 0.0),
+            jnp.where(hit, wf.astype(jnp.float32), -1.0),
+        ]
+    ).reshape(4, resolution, resolution)
+    return rast, total_pairs_true, max_span
+
+
+def default_pair_capacity(n_faces: int) -> int:
+    """Generous default: atlas faces are tiny (mostly 0-1 tiles each)."""
+    return -(-max(4 * n_faces, 65536) // _PAIR_CHUNK) * _PAIR_CHUNK
+
+
 _rasterize_jit = jax.jit(_rasterize_core, static_argnums=(6, 7))
+_rasterize_binned_jit = jax.jit(_rasterize_binned_core, static_argnums=(6, 7))
 
 
 def _pick_row_chunk(resolution: int, n_faces: int) -> int:
@@ -148,11 +330,23 @@ def _pick_row_chunk(resolution: int, n_faces: int) -> int:
     return rc
 
 
-def rasterize_device(u0, v0, u1, v1, u2, v2, resolution: int) -> jnp.ndarray:
-    """Trace-friendly rasterize: SoA per-corner UVs already on device."""
+def rasterize_device(
+    u0, v0, u1, v1, u2, v2, resolution: int, pair_capacity: int = 0
+):
+    """Trace-friendly rasterize: SoA per-corner UVs already on device.
+
+    With ``pair_capacity > 0`` uses the binned path and returns
+    (rast, total_pairs, max_span) for host-side overflow checks; with 0 the
+    brute-force path and trivially-satisfied indicators.
+    """
     F = u0.shape[0]
+    if pair_capacity > 0:
+        return _rasterize_binned_core(
+            u0, v0, u1, v1, u2, v2, resolution, pair_capacity
+        )
     row_chunk = _pick_row_chunk(resolution, F)
-    return _rasterize_core(u0, v0, u1, v1, u2, v2, resolution, row_chunk)
+    rast = _rasterize_core(u0, v0, u1, v1, u2, v2, resolution, row_chunk)
+    return rast, jnp.int32(0), jnp.int32(0)
 
 
 def interpolate_device(attr_cf: jnp.ndarray, rast: jnp.ndarray, fa, fb, fc) -> jnp.ndarray:
@@ -171,21 +365,33 @@ def interpolate_device(attr_cf: jnp.ndarray, rast: jnp.ndarray, fa, fb, fc) -> j
 
 
 def rasterize(uv: np.ndarray, faces: np.ndarray, resolution: int) -> jnp.ndarray:
-    """uv (Nv, 2), faces (F, 3) -> (4, res, res) device array."""
+    """uv (Nv, 2), faces (F, 3) -> (4, res, res) device array.
+
+    Prefers the binned path (retrying on pair-capacity overflow); falls back
+    to the brute-force path when a face spans > MAX_TSPAN tiles (huge faces
+    relative to the atlas) or the resolution isn't tile-aligned."""
     uv = np.asarray(uv, np.float32)
     faces = np.asarray(faces)
     tri = uv[faces]  # (F, 3, 2)
-    row_chunk = _pick_row_chunk(resolution, len(faces))
-    return _rasterize_jit(
-        jnp.asarray(tri[:, 0, 0]),
-        jnp.asarray(tri[:, 0, 1]),
-        jnp.asarray(tri[:, 1, 0]),
-        jnp.asarray(tri[:, 1, 1]),
-        jnp.asarray(tri[:, 2, 0]),
-        jnp.asarray(tri[:, 2, 1]),
-        resolution,
-        row_chunk,
+    corners = tuple(
+        jnp.asarray(tri[:, c, d]) for c in range(3) for d in range(2)
     )
+    u0, v0, u1, v1, u2, v2 = corners
+
+    if resolution % TILE == 0:
+        cap = default_pair_capacity(len(faces))
+        while True:
+            rast, total_pairs, max_span = _rasterize_binned_jit(
+                u0, v0, u1, v1, u2, v2, resolution, cap
+            )
+            if int(max_span) > MAX_TSPAN:
+                break  # fall back to brute force below
+            if int(total_pairs) <= cap:
+                return rast
+            cap = -(-2 * max(cap, int(total_pairs)) // _PAIR_CHUNK) * _PAIR_CHUNK
+
+    row_chunk = _pick_row_chunk(resolution, len(faces))
+    return _rasterize_jit(u0, v0, u1, v1, u2, v2, resolution, row_chunk)
 
 
 def get_mask(rast: jnp.ndarray) -> jnp.ndarray:

@@ -264,8 +264,10 @@ class SF3D:
             compute_dtype=compute_dtype,
         )
 
-    @functools.partial(jax.jit, static_argnums=(0, 3, 4))
-    def _extract_jit(self, scene_code, threshold, max_verts, max_faces):
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
+    def _extract_jit(
+        self, scene_code, threshold, max_verts, max_faces, block_cap=0, cube_cap=0
+    ):
         # threshold is traced (recompile-free iso-level changes)
         c = self.config
         res = c.isosurface_resolution
@@ -280,14 +282,21 @@ class SF3D:
         density = jnp.exp(grids["density"][0] - 1.0)
         sdf = density - threshold
         dx, dy, dz = grids["vertex_offset"]
-        return marching_tets(sdf, dx, dy, dz, res, max_verts, max_faces)
+        return marching_tets(
+            sdf, dx, dy, dz, res, max_verts, max_faces,
+            block_cap, block_cap, cube_cap,
+        )
 
-    @functools.partial(jax.jit, static_argnums=(0, 3, 4))
-    def _extract_packed_jit(self, scene_code, threshold, max_verts, max_faces):
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
+    def _extract_packed_jit(
+        self, scene_code, threshold, max_verts, max_faces, block_cap=0, cube_cap=0
+    ):
         """Extraction packed into one (3, W) f32 buffer (positions scaled to
         the bbox, bit-cast faces, bit-cast counts) — one D2H round trip; see
         systems/tsr.py:_extract_packed_jit for why."""
-        mt = self._extract_jit(scene_code, threshold, max_verts, max_faces)
+        mt = self._extract_jit(
+            scene_code, threshold, max_verts, max_faces, block_cap, cube_cap
+        )
         c = self.config
         verts = jnp.stack(
             [
@@ -300,8 +309,10 @@ class SF3D:
         # small-int bitcast produces (see tsr.py:_extract_packed_jit)
         assert max_verts < (1 << 24), "face ids would lose f32 precision"
         faces_f = jnp.stack([mt.fa, mt.fb, mt.fc]).astype(jnp.float32)
-        counts = jnp.stack([mt.num_verts, mt.num_faces]).astype(jnp.float32)
-        counts_col = jnp.broadcast_to(counts[None, :], (3, 2))
+        counts = jnp.stack(
+            [mt.num_verts, mt.num_faces, mt.num_active_blocks, mt.num_active_cubes]
+        ).astype(jnp.float32)
+        counts_col = jnp.broadcast_to(counts[None, :], (3, 4))
         return jnp.concatenate([verts, faces_f, counts_col], axis=1)
 
     # ------------------------------------------------------------------
@@ -369,22 +380,37 @@ class SF3D:
         thr = float(c.isosurface_threshold if threshold is None else threshold)
         res = c.isosurface_resolution
         N = lattice_size(res)
+        from sculptmate_tpu.geometry.marching_tets import default_block_capacity
+
         if not hasattr(self, "_cap_cache"):
-            self._cap_cache = (24 * N * N, 48 * N * N)
-        max_verts, max_faces = self._cap_cache
+            self._cap_cache = (
+                24 * N * N,
+                48 * N * N,
+                default_block_capacity(res, "verts"),
+                (48 * N * N) // 3,
+            )
+        max_verts, max_faces, block_cap, cube_cap = self._cap_cache
         stage_extract = stage("extract")
         stage_extract.__enter__()
         while True:
             packed = np.asarray(
-                self._extract_packed_jit(scene_codes[0], thr, max_verts, max_faces)
+                self._extract_packed_jit(
+                    scene_codes[0], thr, max_verts, max_faces, block_cap, cube_cap
+                )
             )
-            counts = np.rint(packed[0, -2:]).astype(np.int64)
-            nv, nf = int(counts[0]), int(counts[1])
+            counts = np.rint(packed[0, -4:]).astype(np.int64)
+            nv, nf, nblk, ncube = (int(c) for c in counts)
+            if nblk > block_cap:
+                block_cap = 2 * max(block_cap, nblk)
+                continue
+            if ncube > cube_cap:
+                cube_cap = 2 * max(cube_cap, ncube)
+                continue
             if nv <= max_verts and nf <= max_faces:
                 break
             max_verts = max(max_verts, 65536 * -(-int(1.2 * nv) // 65536))
             max_faces = max(max_faces, 65536 * -(-int(1.2 * nf) // 65536))
-        self._cap_cache = (max_verts, max_faces)
+        self._cap_cache = (max_verts, max_faces, block_cap, cube_cap)
         if nv == 0:
             stage_extract.__exit__(None, None, None)
             return None
@@ -430,19 +456,23 @@ class SF3D:
         return out
 
     # ------------------------------------------------------------------
-    @functools.partial(jax.jit, static_argnums=(0, 6))
-    def _bake_jit(self, scene_code, attrs, fa, fb, fc, bake_resolution, rm):
+    @functools.partial(jax.jit, static_argnums=(0, 6, 8))
+    def _bake_jit(
+        self, scene_code, attrs, fa, fb, fc, bake_resolution, rm, pair_capacity=0
+    ):
         """The whole bake as ONE program: rasterize -> interpolate pos/nrm/tng
         -> material query -> bump compose -> island dilation, emitting a
         single (7, res, res) buffer (albedo rows 0-2, bump rows 3-5,
-        row 6 = [roughness, metallic, mask...]) so the texture set crosses
-        the tunnel in one transfer. ``attrs``: (11, Nv) packed
-        pos(3)/nrm(3)/tng(3)/uv(2); rm: (2,) roughness+metallic scalars."""
+        row 6 = [roughness, metallic, raster total_pairs, raster max_span])
+        so the texture set crosses the tunnel in one transfer. ``attrs``:
+        (11, Nv) packed pos(3)/nrm(3)/tng(3)/uv(2); rm: (2,) roughness +
+        metallic scalars; ``pair_capacity``: binned-rasterizer capacity
+        (0 = brute-force path)."""
         res = bake_resolution
         u = attrs[9]
         v = attrs[10]
-        rast = texture_bake.rasterize_device(
-            u[fa], v[fa], u[fb], v[fb], u[fc], v[fc], res
+        rast, total_pairs, max_span = texture_bake.rasterize_device(
+            u[fa], v[fa], u[fb], v[fb], u[fc], v[fc], res, pair_capacity
         )  # (4, res, res)
         mask = rast[3] >= 0
 
@@ -484,7 +514,12 @@ class SF3D:
         bump_img = texture_bake.dilate_fill(bump_img, mask, iters)
 
         meta = jnp.zeros((1, res, res), jnp.float32)
-        meta = meta.at[0, 0, 0].set(rm[0]).at[0, 0, 1].set(rm[1])
+        meta = (
+            meta.at[0, 0, 0].set(rm[0])
+            .at[0, 0, 1].set(rm[1])
+            .at[0, 0, 2].set(total_pairs.astype(jnp.float32))
+            .at[0, 0, 3].set(max_span.astype(jnp.float32))
+        )
         return jnp.concatenate([albedo_img, bump_img, meta], axis=0)
 
     def _surface_query(self, scene_code, px, py, pz):
@@ -540,17 +575,36 @@ class SF3D:
                 jnp.asarray(global_dict["decoder_metallic"]).reshape(()),
             ]
         )
-        packed = np.asarray(
-            self._bake_jit(
-                scene_code,
-                jnp.asarray(attrs),
-                jnp.asarray(fcomp[0]),
-                jnp.asarray(fcomp[1]),
-                jnp.asarray(fcomp[2]),
-                bake_resolution,
-                rm,
-            )
+        # binned rasterizer with host-checked overflow: retry on pair-capacity
+        # overflow (never truncate), fall back to the brute-force path when a
+        # face spans > MAX_TSPAN tiles of the atlas
+        pair_cap = (
+            texture_bake.default_pair_capacity(fbucket)
+            if bake_resolution % texture_bake.TILE == 0
+            else 0
         )
+        args = (
+            scene_code,
+            jnp.asarray(attrs),
+            jnp.asarray(fcomp[0]),
+            jnp.asarray(fcomp[1]),
+            jnp.asarray(fcomp[2]),
+            bake_resolution,
+            rm,
+        )
+        while True:
+            packed = np.asarray(self._bake_jit(*args, pair_cap))
+            if pair_cap == 0:
+                break
+            total_pairs = int(round(float(packed[6, 0, 2])))
+            max_span = int(round(float(packed[6, 0, 3])))
+            if max_span > texture_bake.MAX_TSPAN:
+                pair_cap = 0  # oversized faces: brute-force path
+                continue
+            if total_pairs <= pair_cap:
+                break
+            pc = texture_bake._PAIR_CHUNK
+            pair_cap = -(-2 * max(pair_cap, total_pairs) // pc) * pc
         albedo_np = np.transpose(packed[0:3], (1, 2, 0))
         bump_np = np.transpose(packed[3:6], (1, 2, 0))
         roughness = float(packed[6, 0, 0])

@@ -243,28 +243,7 @@ class TSR:
 
         parts = [verts]
         if want_colors:
-            n = max_verts
-            chunk = 65536 if (n > 65536 and n % 65536 == 0) else n
-
-            def one(args):
-                cx, cy, cz = args
-                return query_triplane_points(
-                    scene_code, weights, cx, cy, cz, spec
-                )["color"]
-
-            if n <= chunk:
-                colors = one((wx, wy, wz))
-            else:
-                cparts = jax.lax.map(
-                    one,
-                    (
-                        wx.reshape(-1, chunk),
-                        wy.reshape(-1, chunk),
-                        wz.reshape(-1, chunk),
-                    ),
-                )
-                colors = jnp.swapaxes(cparts, 0, 1).reshape(3, n)
-            parts.append(colors)
+            parts.append(self._color_query(scene_code, weights, spec, wx, wy, wz))
 
         # ints ride as exact f32 values (< 2^24), NOT bitcasts: bitcast
         # int32->f32 yields denormals for small ints and the TPU flushes
@@ -283,6 +262,58 @@ class TSR:
         ).astype(jnp.float32)
         parts.append(jnp.broadcast_to(counts[None, :], (3, 4)))
         return jnp.concatenate(parts, axis=1)
+
+    @functools.partial(jax.jit, static_argnums=(0, 2, 4, 5, 6))
+    def _extract_wire_jit(
+        self, scene_code, resolution, threshold, max_verts, want_colors,
+        block_capacity=0,
+    ):
+        """Wire-format extraction (``geometry/marching_cubes.mc_wire_device``):
+        density grid -> occupancy bits + per-cut-edge t + uint8 colors, ONE
+        ~6 MB uint8 transfer at 256^3 (vs ~35 MB packed f32). Faces and
+        vertex ids are rebuilt on the host by ``native/mc_wire.cpp`` — the
+        tunneled D2H link (14-115 MB/s) is the lean path's bottleneck, and
+        the device-side face-table machinery (~1 s at 256^3 noise surfaces)
+        drops out entirely."""
+        from sculptmate_tpu.geometry.marching_cubes import mc_wire_device
+
+        weights = mlp_weights_from_params(self.params["decoder"]["layers"])
+        spec = self.grid_spec(resolution)
+        density = query_density_grid(scene_code, weights, spec)
+
+        color_fn = None
+        if want_colors:
+            scale = 2 * self.config.radius / (resolution - 1.0)
+
+            def color_fn(vx, vy, vz, valid):
+                wx = vx * scale - self.config.radius
+                wy = vy * scale - self.config.radius
+                wz = vz * scale - self.config.radius
+                colors = self._color_query(scene_code, weights, spec, wx, wy, wz)
+                return colors[0], colors[1], colors[2]
+
+        return mc_wire_device(
+            density - threshold, max_verts, block_capacity, None, color_fn
+        )
+
+    def _color_query(self, scene_code, weights, spec, wx, wy, wz):
+        """Trace-time chunked color-MLP query at world positions -> (3, N)."""
+        n = wx.shape[0]
+        chunk = 65536 if (n > 65536 and n % 65536 == 0) else n
+
+        def one(args):
+            cx, cy, cz = args
+            return query_triplane_points(scene_code, weights, cx, cy, cz, spec)[
+                "color"
+            ]
+
+        if n <= chunk:
+            return one((wx, wy, wz))
+        parts = jax.lax.map(
+            one,
+            (wx.reshape(-1, chunk), wy.reshape(-1, chunk), wz.reshape(-1, chunk)),
+        )
+        return jnp.swapaxes(parts, 0, 1).reshape(3, n)
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def _colors_jit(self, scene_code, px, py, pz):
@@ -388,12 +419,22 @@ class TSR:
         threshold: float = 25.0,
         max_verts: int = 0,
         max_faces: int = 0,
+        mode: str = "wire",
     ):
         """Returns a list of (verts, faces, colors|None) numpy triples.
 
         verts are in (-radius, radius) world coords like the reference
         (``tsr/system.py:185-189``).
+
+        ``mode``: "wire" (default) ships occupancy bits + t + uint8 colors
+        and rebuilds faces natively on the host (~6x fewer D2H bytes, no
+        device face machinery; positions within 2^-16 lattice units, colors
+        uint8); "packed" ships the full f32 mesh (exact f32 colors).
         """
+        if mode == "wire":
+            return self._extract_mesh_wire(
+                scene_codes, has_vertex_color, resolution, threshold, max_verts
+            )
         if max_verts <= 0:
             # ~2x a typical object's surface at this resolution; capacity
             # directly scales gather/scatter cost, and overflow auto-retries
@@ -463,4 +504,56 @@ class TSR:
             if nv == 0:
                 colors = None
             out.append((verts_world, faces, colors))
+        return out
+
+    def _extract_mesh_wire(
+        self, scene_codes, has_vertex_color, resolution, threshold, max_verts
+    ):
+        from sculptmate_tpu.geometry import mc_wire
+        from sculptmate_tpu.geometry.marching_cubes import default_block_capacity
+
+        if max_verts <= 0:
+            max_verts = 8 * resolution * resolution
+        if not hasattr(self, "_wire_cap_cache"):
+            self._wire_cap_cache = {}
+        cached = self._wire_cap_cache.get(resolution)
+
+        shape = (resolution, resolution, resolution)
+        out = []
+        for scene_code in scene_codes:
+            if cached is not None:
+                mv, bc = max(max_verts, cached[0]), cached[1]
+            else:
+                mv = max_verts
+                bc = default_block_capacity(resolution, mv)
+            while True:
+                wire = np.asarray(
+                    self._extract_wire_jit(
+                        scene_code, resolution, float(threshold), mv,
+                        bool(has_vertex_color), bc,
+                    )
+                )  # ONE device->host transfer for the whole surface
+                nv, nblocks = (
+                    int(c) for c in mc_wire.wire_counts(wire, mc_wire.N_WIRE_COUNTS)
+                )
+                # overflow detected, never silently truncated
+                if nblocks > bc:
+                    bc = max(bc + 1, int(nblocks * 1.2))
+                    continue
+                if nv <= mv:
+                    break
+                mv = max(mv, 65536 * -(-int(1.2 * nv) // 65536))
+            self._wire_cap_cache[resolution] = (mv, bc)
+            cached = self._wire_cap_cache[resolution]
+
+            verts, faces, colors, _ = mc_wire.decode_wire(wire, shape, mv)
+            scale = 2 * self.config.radius / (resolution - 1.0)
+            verts_world = verts * scale - self.config.radius
+            out.append(
+                (
+                    verts_world,
+                    faces.astype(np.int64),
+                    colors if (has_vertex_color and nv > 0) else None,
+                )
+            )
         return out

@@ -77,3 +77,56 @@ def test_float32_to_uint8_dither():
     assert 120 <= out.mean() <= 135
     out_nd = texture_bake.float32_to_uint8(arr, dither=False)
     assert (out_nd == out_nd[0, 0]).all()
+
+
+def _small_tri_soup(rng, n=300, size=0.04):
+    """Atlas-like soup: many small triangles scattered over [0,1]^2."""
+    base = rng.random((n, 1, 2)).astype(np.float32) * (1 - 2 * size) + size
+    off = (rng.random((n, 3, 2)).astype(np.float32) - 0.5) * 2 * size
+    tri = np.clip(base + off, 0, 1)
+    uv = tri.reshape(-1, 2)
+    faces = np.arange(3 * n).reshape(n, 3)
+    return uv, faces
+
+
+def test_binned_matches_brute_small_faces(rng):
+    res = 64
+    uv, faces = _small_tri_soup(rng)
+    tri = uv[faces]
+    args = tuple(jnp.asarray(tri[:, c, d]) for c in range(3) for d in range(2))
+
+    brute = np.asarray(
+        texture_bake._rasterize_core(*args, res, texture_bake._pick_row_chunk(res, len(faces)))
+    )
+    cap = texture_bake.default_pair_capacity(len(faces))
+    binned, total_pairs, max_span = (
+        np.asarray(x)
+        for x in texture_bake._rasterize_binned_jit(*args, res, cap)
+    )
+    assert int(max_span) <= texture_bake.MAX_TSPAN
+    assert int(total_pairs) <= cap
+    np.testing.assert_array_equal(binned[3], brute[3])
+    # sliver triangles amplify f32 reassociation noise between the two programs
+    np.testing.assert_allclose(binned[:3], brute[:3], atol=1e-3)
+
+
+def test_binned_pair_capacity_overflow_detected(rng):
+    res = 64
+    uv, faces = _small_tri_soup(rng, n=2000, size=0.03)
+    tri = uv[faces]
+    args = tuple(jnp.asarray(tri[:, c, d]) for c in range(3) for d in range(2))
+    cap = texture_bake._PAIR_CHUNK  # deliberately too small
+    _, total_pairs, _ = texture_bake._rasterize_binned_jit(*args, res, cap)
+    # the host wrapper retries on this signal; here just assert it's exact
+    full_cap = texture_bake.default_pair_capacity(len(faces))
+    _, total_full, _ = texture_bake._rasterize_binned_jit(*args, res, full_cap)
+    assert int(total_pairs) == int(total_full)
+
+
+def test_rasterize_host_wrapper_binned_path(rng):
+    res = 32
+    uv, faces = _small_tri_soup(rng, n=100, size=0.05)
+    got = np.asarray(texture_bake.rasterize(uv, faces, res))
+    ref = _brute_force_raster(uv, faces, res)
+    np.testing.assert_array_equal(got[3], ref[..., 3])
+    np.testing.assert_allclose(got[0], ref[..., 0], atol=1e-5)
