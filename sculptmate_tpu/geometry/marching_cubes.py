@@ -161,10 +161,30 @@ def _vertex_side(
         vb_axis = vb_safe // NB
         vb_base = block_base[vb_safe % NB]
 
-        # gather per-block edge data: global flat edge index (A, 512)
+        # re-tile mask/vid into block-major (3NB, 512) rows FIRST (a regular
+        # transpose, bandwidth-bound), then gather whole contiguous rows:
+        # arbitrary-index element gathers lower to ~40M elem/s on TPU
+        # (measured ~530 ms for the same data at 256^3), contiguous row
+        # gathers to ~85 ms
+        def to_blocked(x3):
+            return (
+                x3.reshape(nbx, BS, nby, BS, nbz, BS)
+                .transpose(0, 2, 4, 1, 3, 5)
+                .reshape(NB, BS * BS * BS)
+            )
+
+        mask_b = jnp.concatenate([to_blocked(m) for m in masks], axis=0)
+        vid_b = jnp.concatenate(
+            [
+                to_blocked(vid[a * n3 : (a + 1) * n3].reshape(RX, RY, RZ))
+                for a in range(3)
+            ],
+            axis=0,
+        )
+        gmask = mask_b[vb_safe] & vblk_valid[:, None]
+        gvid = vid_b[vb_safe]
+        # global flat edge ids are arithmetic off the block id (no gather)
         gidx = vb_axis[:, None] * n3 + vb_base[:, None] + local_off[None, :]
-        gmask = mask_flat[gidx] & vblk_valid[:, None]
-        gvid = vid[gidx]
 
         # scatter-compact the cut-edge indices into the vertex buffer
         dst = jnp.where(gmask, gvid, sink)
@@ -369,7 +389,14 @@ def marching_cubes(
         fb_base = block_base[fb_safe]
 
         cidx = fb_base[:, None] + local_off[None, :]  # (A, 512) cell flat idx
-        cnt = ntri_flat[cidx] * fblk_valid[:, None]  # (A, 512)
+        # contiguous row gather from the block-major re-tiling (see the
+        # vertex side: element gathers are ~6x slower on TPU)
+        ntri_b = (
+            ntri.reshape(nbx, BS, nby, BS, nbz, BS)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(NB, BS * BS * BS)
+        )
+        cnt = ntri_b[fb_safe] * fblk_valid[:, None]  # (A, 512)
         # rank of each cell's first face within its block
         local_rank = jnp.cumsum(cnt.reshape(cnt.shape[0], -1), axis=1) - cnt
         first_face = fb_off[:, None] + local_rank  # (A, 512)

@@ -175,9 +175,23 @@ def marching_tets(
     vb_cls = vb_safe // NB
     vb_base = block_base[vb_safe % NB]
 
+    # block-major re-tiling first, then contiguous row gathers (element
+    # gathers are ~6x slower on TPU — see marching_cubes._vertex_side)
+    def to_blocked(x3):
+        return (
+            x3.reshape(nb1, BS, nb1, BS, nb1, BS)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(NB, BS * BS * BS)
+        )
+
+    mask_b = jnp.concatenate([to_blocked(m) for m in masks], axis=0)  # (7NB, 512)
+    vid_b = jnp.concatenate(
+        [to_blocked(vid[c * n3p : (c + 1) * n3p].reshape(Np, Np, Np)) for c in range(7)],
+        axis=0,
+    )
+    gmask = mask_b[vb_safe] & vblk_valid[:, None]
+    gvid = vid_b[vb_safe]
     gidx = vb_cls[:, None] * n3p + vb_base[:, None] + local_off[None, :]
-    gmask = mask_flat[gidx] & vblk_valid[:, None]
-    gvid = vid[gidx]
 
     sink = max_verts
     dst = jnp.where(gmask, gvid, sink)
@@ -269,7 +283,9 @@ def marching_tets(
     fb_base = block_base[fb_safe]
 
     cidx = fb_base[:, None] + local_off[None, :]  # (A, 512) cube flat idx
-    ccnt = ntri_cube[cidx] * fblk_valid[:, None]  # (A, 512)
+    ccnt = to_blocked(ntri_cube.reshape(Np, Np, Np))[fb_safe] * fblk_valid[
+        :, None
+    ]  # (A, 512) contiguous row gather
     local_rank = jnp.cumsum(ccnt, axis=1) - ccnt
     first_face = fb_off[:, None] + local_rank  # (A, 512)
 
