@@ -73,9 +73,14 @@ def main():
 
     log(f"glb written: {os.path.getsize('/tmp/sf3d_full.glb')} bytes")
 
+    from sculptmate_tpu.runtime.logging import StageMetrics
+
+    metrics = StageMetrics()
     t0 = time.perf_counter()
-    mesh = sf3d.run_image(img, bake_resolution=512, threshold=thr)
+    mesh = sf3d.run_image(img, bake_resolution=512, threshold=thr, metrics=metrics)
     log(f"steady-state run_image: {time.perf_counter()-t0:.2f}s")
+    for name in metrics._order:
+        log(f"  stage {name:10s} {metrics.timings[name]:7.2f}s")
     return 0
 
 

@@ -136,51 +136,134 @@ def _rasterize_core(u0, v0, u1, v1, u2, v2, resolution: int, row_chunk: int):
     return jnp.transpose(rows, (1, 0, 2, 3)).reshape(4, resolution, resolution)
 
 
-TILE = 8  # binned-rasterizer tile side (texels)
-MAX_TSPAN = 4  # max face bbox span in tiles per axis on the binned path
+TILE = 8  # fine-tier tile side (texels)
+TILE2 = 64  # coarse-tier tile side for oversized faces
+# max fine-tier span: 2 keeps the per-face slot expansion at 4 entries — the
+# pair-compaction scatter costs ~40M updates/s on TPU, and S2=16 made it the
+# rasterizer's dominant term (0.8 s at 741K faces); 17-32-texel faces just
+# take the coarse tier
+MAX_TSPAN = 2
 _PAIR_CHUNK = 8192
+_PAIR2_CHUNK = 128  # coarse pairs test 64x64 texels each
+
+
+def _face_tile_pairs(
+    xlo, xhi, ylo, yhi, eligible, tile, max_span, T, pair_capacity,
+    multi_capacity,
+):
+    """Scatter-compact (face, tile) pairs for one tier.
+
+    Scatter updates cost ~40M/s on TPU, so a flat (F, S2) slot expansion is
+    the dominant term (S2=64 on the coarse tier). Instead: one F-sized
+    scatter writes every emitting face's FIRST pair; faces spanning > 1 tile
+    (rare for atlas geometry) are rank-compacted into a ``multi_capacity``
+    list and only that small list expands the remaining S2-1 slots.
+
+    Returns (pair_fid, pair_tid, n_pairs_clamped, total_pairs_true,
+    n_multi) — callers must retry when totals exceed the capacities (never
+    silently truncate).
+    """
+    F = xlo.shape[0]
+    txlo, txhi = xlo // tile, xhi // tile
+    tylo, tyhi = ylo // tile, yhi // tile
+    sx = jnp.clip(txhi - txlo + 1, 0, T)
+    sy = jnp.clip(tyhi - tylo + 1, 0, T)
+    sx = jnp.where(eligible, sx, 0)
+    sy = jnp.where(eligible, sy, 0)
+    total_true = jnp.sum(sx * sy)
+    sxc = jnp.minimum(sx, max_span)
+    syc = jnp.minimum(sy, max_span)
+    npairs = sxc * syc
+    off = jnp.cumsum(npairs) - npairs
+    iota = jax.lax.broadcasted_iota(jnp.int32, (F, 1), 0)[:, 0]
+
+    # slot 0 for every emitting face: one F-sized scatter pair
+    emit = npairs >= 1
+    dst0 = jnp.where(emit, off, pair_capacity)
+    tid0 = tylo * T + txlo
+    pair_fid = (
+        jnp.full((pair_capacity,), F, jnp.int32)
+        .at[dst0]
+        .set(iota, mode="drop")
+    )
+    pair_tid = (
+        jnp.zeros((pair_capacity,), jnp.int32)
+        .at[dst0]
+        .set(tid0.astype(jnp.int32), mode="drop")
+    )
+
+    # compact the multi-tile faces, then expand only those
+    multi = npairs >= 2
+    n_multi = jnp.sum(multi.astype(jnp.int32))
+    rank = jnp.cumsum(multi.astype(jnp.int32)) - multi
+    mdst = jnp.where(multi, rank, multi_capacity)
+    mid = (
+        jnp.full((multi_capacity,), F, jnp.int32)
+        .at[mdst]
+        .set(iota, mode="drop")
+    )  # face ids of multi-tile faces
+    mvalid = mid < F
+    msafe = jnp.where(mvalid, mid, 0)
+
+    S2 = max_span * max_span
+    k = jnp.arange(1, S2, dtype=jnp.int32)[None, :]  # slots 1..S2-1
+    m_np = npairs[msafe][:, None]
+    kvalid = (k < m_np) & mvalid[:, None]
+    sx_safe = jnp.maximum(sxc[msafe], 1)[:, None]
+    dx = k % sx_safe
+    dy = k // sx_safe
+    tid = (tylo[msafe][:, None] + dy) * T + (txlo[msafe][:, None] + dx)
+    dst = jnp.where(kvalid, off[msafe][:, None] + k, pair_capacity)
+    fid_src = jnp.broadcast_to(msafe[:, None], (multi_capacity, S2 - 1))
+    pair_fid = pair_fid.at[dst.ravel()].set(fid_src.ravel(), mode="drop")
+    pair_tid = pair_tid.at[dst.ravel()].set(
+        tid.ravel().astype(jnp.int32), mode="drop"
+    )
+    return pair_fid, pair_tid, jnp.sum(npairs), total_true, n_multi
 
 
 def _rasterize_binned_core(
-    u0, v0, u1, v1, u2, v2, resolution: int, pair_capacity: int
+    u0, v0, u1, v1, u2, v2, resolution: int, pair_capacity: int,
+    pair2_capacity: int, multi_capacity: int = 65536,
 ):
-    """Binned scatter-min rasterizer — O(surface) instead of O(res^2 * F).
+    """Two-tier binned scatter-min rasterizer — O(surface), not O(res^2 * F).
 
     The brute-force path tests every pixel row chunk against every face chunk
     in its v-range (~15G barycentric tests at 512^2 x 741K faces). Here:
 
-    1. Each face gets a texel bbox -> tile bbox (8x8-texel tiles); most atlas
-       faces are sub-texel, covering 0 texel centers (no work) or 1 tile.
-    2. (face, tile) pairs are scatter-compacted into a fixed ``pair_capacity``
-       buffer (exact ``total_pairs`` returned; callers retry on overflow —
-       never silently truncated, same invariant as marching_cubes).
-    3. Pairs are processed in fixed chunks: 64 barycentric tests each, then a
-       scatter-min of the face id into the per-texel winner buffer (winner =
-       lowest covering face id, the reference rule, ``common.py:144-211``).
+    1. Each face gets a texel bbox -> tile bbox. Normal atlas faces (bbox <=
+       MAX_TSPAN 8x8-texel tiles) go to the FINE tier; oversized faces (e.g.
+       big flat slice faces) go to a COARSE tier of 64x64-texel tiles whose
+       span covers the whole atlas — no face is ever unroutable. Sub-texel
+       faces covering no texel center emit nothing.
+    2. (face, tile) pairs are scatter-compacted into fixed capacities (exact
+       totals returned; callers retry on overflow — never silently
+       truncated, same invariant as marching_cubes).
+    3. Pair chunks run barycentric tests (64 or 4096 texels per pair), then a
+       scatter-min of the face id into the shared per-texel winner buffer
+       (winner = lowest covering face id, the reference rule,
+       ``common.py:144-211``). min is commutative, so tiers compose.
     4. A cheap per-texel recovery pass recomputes the winner's barycentrics.
 
-    Returns (rast (4, res, res), total_pairs, max_tile_span); the output is
-    only valid when total_pairs <= pair_capacity and max_tile_span <=
-    MAX_TSPAN (else fall back / retry on the host).
+    Returns (rast (4, res, res), total_pairs_fine, total_pairs_coarse,
+    n_multi_fine); the output is only valid when the totals fit their
+    capacities AND n_multi_fine <= multi_capacity.
     """
     F = u0.shape[0]
-    assert resolution % TILE == 0, resolution
+    assert resolution % TILE2 == 0, resolution
     T = resolution // TILE
+    T2 = resolution // TILE2
     s = float(resolution - 1)  # texel x center at u = x / (res-1)
 
-    # -- face -> tile bbox -------------------------------------------------
+    # -- face -> texel bbox ------------------------------------------------
     umin = jnp.minimum(jnp.minimum(u0, u1), u2) * s
     umax = jnp.maximum(jnp.maximum(u0, u1), u2) * s
     vmin = jnp.minimum(jnp.minimum(v0, v1), v2) * s
     vmax = jnp.maximum(jnp.maximum(v0, v1), v2) * s
-    xlo = jnp.ceil(umin - 1e-3).astype(jnp.int32)
-    xhi = jnp.floor(umax + 1e-3).astype(jnp.int32)
-    ylo = jnp.ceil(vmin - 1e-3).astype(jnp.int32)
-    yhi = jnp.floor(vmax + 1e-3).astype(jnp.int32)
-    xlo = jnp.clip(xlo, 0, resolution - 1)
-    xhi = jnp.clip(xhi, -1, resolution - 1)
-    ylo = jnp.clip(ylo, 0, resolution - 1)
-    yhi = jnp.clip(yhi, -1, resolution - 1)
+    xlo = jnp.clip(jnp.ceil(umin - 1e-3).astype(jnp.int32), 0, resolution - 1)
+    xhi = jnp.clip(jnp.floor(umax + 1e-3).astype(jnp.int32), -1, resolution - 1)
+    ylo = jnp.clip(jnp.ceil(vmin - 1e-3).astype(jnp.int32), 0, resolution - 1)
+    yhi = jnp.clip(jnp.floor(vmax + 1e-3).astype(jnp.int32), -1, resolution - 1)
 
     e1u, e1v = u1 - u0, v1 - v0
     e2u, e2v = u2 - u0, v2 - v0
@@ -189,93 +272,96 @@ def _rasterize_binned_core(
     ) ** 2
     degenerate = jnp.abs(denom) < 1e-12
 
-    txlo, txhi = xlo // TILE, xhi // TILE
-    tylo, tyhi = ylo // TILE, yhi // TILE
-    sx = txhi - txlo + 1
-    sy = tyhi - tylo + 1
     covers = (xhi >= xlo) & (yhi >= ylo) & ~degenerate
-    sx = jnp.where(covers, sx, 0)
-    sy = jnp.where(covers, sy, 0)
-    max_span = jnp.maximum(jnp.max(sx), jnp.max(sy))
-    sxc = jnp.minimum(sx, MAX_TSPAN)
-    syc = jnp.minimum(sy, MAX_TSPAN)
-    npairs = sxc * syc  # (F,)
-    # report the true (unclamped) pair total so capacity retries are exact
-    total_pairs_true = jnp.sum(sx * sy)
+    big = (
+        ((xhi // TILE - xlo // TILE) >= MAX_TSPAN)
+        | ((yhi // TILE - ylo // TILE) >= MAX_TSPAN)
+    ) & covers
 
-    off = jnp.cumsum(npairs) - npairs  # (F,) exclusive
-
-    # -- scatter-compact (face, tile) pairs ---------------------------------
-    S2 = MAX_TSPAN * MAX_TSPAN
-    k = jnp.arange(S2, dtype=jnp.int32)[None, :]  # (1, S2)
-    kvalid = k < npairs[:, None]
-    sx_safe = jnp.maximum(sxc, 1)[:, None]
-    dx = k % sx_safe
-    dy = k // sx_safe
-    tid = (tylo[:, None] + dy) * T + (txlo[:, None] + dx)  # (F, S2)
-    dst = jnp.where(kvalid, off[:, None] + k, pair_capacity)
-    fid_src = jnp.broadcast_to(
-        jnp.arange(F, dtype=jnp.int32)[:, None], (F, S2)
+    # the fine multi-list is deliberately small (multi-tile atlas faces are
+    # rare) with its own overflow signal; the coarse multi-list is bounded by
+    # pair2_capacity (a big face emits >= 1 coarse pair), so an overflow
+    # there already trips the total_coarse retry
+    pair_fid, pair_tid, n_fine, total_fine, n_multi = _face_tile_pairs(
+        xlo, xhi, ylo, yhi, covers & ~big, TILE, MAX_TSPAN, T, pair_capacity,
+        multi_capacity,
     )
-    pair_fid = (
-        jnp.full((pair_capacity,), F, jnp.int32)
-        .at[dst.ravel()]
-        .set(fid_src.ravel(), mode="drop")
-    )
-    pair_tid = (
-        jnp.zeros((pair_capacity,), jnp.int32)
-        .at[dst.ravel()]
-        .set(tid.ravel().astype(jnp.int32), mode="drop")
+    pair2_fid, pair2_tid, n_coarse, total_coarse, _ = _face_tile_pairs(
+        xlo, xhi, ylo, yhi, big, TILE2, T2, T2, pair2_capacity,
+        pair2_capacity,
     )
 
     # -- chunked pair tests + scatter-min winner ----------------------------
     SINK = jnp.int32(2**30)
-    n_chunks = pair_capacity // _PAIR_CHUNK
-    oy, ox = jnp.meshgrid(
-        jnp.arange(TILE, dtype=jnp.int32), jnp.arange(TILE, dtype=jnp.int32),
-        indexing="ij",
-    )
-    oy = oy.ravel()[None, :]  # (1, 64)
-    ox = ox.ravel()[None, :]
 
-    def chunk_body(ci, winner):
-        fid = jax.lax.dynamic_slice(pair_fid, (ci * _PAIR_CHUNK,), (_PAIR_CHUNK,))
-        tidc = jax.lax.dynamic_slice(pair_tid, (ci * _PAIR_CHUNK,), (_PAIR_CHUNK,))
-        fsafe = jnp.minimum(fid, F - 1)
-        fu0, fv0 = u0[fsafe][:, None], v0[fsafe][:, None]
-        fu1, fv1 = u1[fsafe][:, None], v1[fsafe][:, None]
-        fu2, fv2 = u2[fsafe][:, None], v2[fsafe][:, None]
-        tx = (tidc % T)[:, None]
-        ty = (tidc // T)[:, None]
-        gx = (tx * TILE + ox).astype(jnp.float32) / s  # (PC, 64) texel u
-        gy = (ty * TILE + oy).astype(jnp.float32) / s
-
-        e1u, e1v = fu1 - fu0, fv1 - fv0
-        e2u, e2v = fu2 - fu0, fv2 - fv0
-        d00 = e1u * e1u + e1v * e1v
-        d01 = e1u * e2u + e1v * e2v
-        d11 = e2u * e2u + e2v * e2v
-        den = d00 * d11 - d01 * d01
-        den_safe = jnp.where(jnp.abs(den) < 1e-12, 1.0, den)
-        pu = gx - fu0
-        pv = gy - fv0
-        d20 = pu * e1u + pv * e1v
-        d21 = pu * e2u + pv * e2v
-        bv = (d11 * d20 - d01 * d21) / den_safe
-        bw = (d00 * d21 - d01 * d20) / den_safe
-        bu = 1.0 - bv - bw
-        inside = (
-            (bu >= 0) & (bv >= 0) & (bw >= 0)
-            & (jnp.abs(den) >= 1e-12)
-            & (fid[:, None] < F)
+    def make_chunk_body(p_fid, p_tid, tile, chunk, Tt):
+        npx = tile * tile
+        oy, ox = jnp.meshgrid(
+            jnp.arange(tile, dtype=jnp.int32),
+            jnp.arange(tile, dtype=jnp.int32),
+            indexing="ij",
         )
-        key = jnp.where(inside, fid[:, None], SINK)
-        texel = (ty * TILE + oy) * resolution + (tx * TILE + ox)  # (PC, 64)
-        texel = jnp.where(inside, texel, resolution * resolution)  # drop sink
-        return winner.at[texel.ravel()].min(key.ravel(), mode="drop")
+        oy = oy.ravel()[None, :]
+        ox = ox.ravel()[None, :]
+
+        def chunk_body(ci, winner):
+            fid = jax.lax.dynamic_slice(p_fid, (ci * chunk,), (chunk,))
+            tidc = jax.lax.dynamic_slice(p_tid, (ci * chunk,), (chunk,))
+            fsafe = jnp.minimum(fid, F - 1)
+            fu0, fv0 = u0[fsafe][:, None], v0[fsafe][:, None]
+            fu1, fv1 = u1[fsafe][:, None], v1[fsafe][:, None]
+            fu2, fv2 = u2[fsafe][:, None], v2[fsafe][:, None]
+            tx = (tidc % Tt)[:, None]
+            ty = (tidc // Tt)[:, None]
+            gx = (tx * tile + ox).astype(jnp.float32) / s  # (PC, npx)
+            gy = (ty * tile + oy).astype(jnp.float32) / s
+
+            e1u, e1v = fu1 - fu0, fv1 - fv0
+            e2u, e2v = fu2 - fu0, fv2 - fv0
+            d00 = e1u * e1u + e1v * e1v
+            d01 = e1u * e2u + e1v * e2v
+            d11 = e2u * e2u + e2v * e2v
+            den = d00 * d11 - d01 * d01
+            den_safe = jnp.where(jnp.abs(den) < 1e-12, 1.0, den)
+            pu = gx - fu0
+            pv = gy - fv0
+            d20 = pu * e1u + pv * e1v
+            d21 = pu * e2u + pv * e2v
+            bv = (d11 * d20 - d01 * d21) / den_safe
+            bw = (d00 * d21 - d01 * d20) / den_safe
+            bu = 1.0 - bv - bw
+            inside = (
+                (bu >= 0) & (bv >= 0) & (bw >= 0)
+                & (jnp.abs(den) >= 1e-12)
+                & (fid[:, None] < F)
+            )
+            key = jnp.where(inside, fid[:, None], SINK)
+            texel = (ty * tile + oy) * resolution + (tx * tile + ox)
+            texel = jnp.where(inside, texel, resolution * resolution)
+            return winner.at[texel.ravel()].min(key.ravel(), mode="drop")
+
+        return chunk_body
 
     winner = jnp.full((resolution * resolution,), SINK, jnp.int32)
-    winner = jax.lax.fori_loop(0, n_chunks, chunk_body, winner)
+    # trip counts are TRACED (actual pairs, not capacity): capacities are
+    # generous, and fori_loop handles dynamic bounds fine
+    nc_fine = jnp.minimum(
+        (n_fine + _PAIR_CHUNK - 1) // _PAIR_CHUNK, pair_capacity // _PAIR_CHUNK
+    )
+    winner = jax.lax.fori_loop(
+        0, nc_fine, make_chunk_body(pair_fid, pair_tid, TILE, _PAIR_CHUNK, T),
+        winner,
+    )
+    nc_coarse = jnp.minimum(
+        (n_coarse + _PAIR2_CHUNK - 1) // _PAIR2_CHUNK,
+        pair2_capacity // _PAIR2_CHUNK,
+    )
+    winner = jax.lax.fori_loop(
+        0,
+        nc_coarse,
+        make_chunk_body(pair2_fid, pair2_tid, TILE2, _PAIR2_CHUNK, T2),
+        winner,
+    )
 
     # -- recovery: barycentrics of the winning face per texel ---------------
     hit = winner < SINK
@@ -309,16 +395,30 @@ def _rasterize_binned_core(
             jnp.where(hit, wf.astype(jnp.float32), -1.0),
         ]
     ).reshape(4, resolution, resolution)
-    return rast, total_pairs_true, max_span
+    return rast, total_fine, total_coarse, n_multi
 
 
 def default_pair_capacity(n_faces: int) -> int:
-    """Generous default: atlas faces are tiny (mostly 0-1 tiles each)."""
-    return -(-max(4 * n_faces, 65536) // _PAIR_CHUNK) * _PAIR_CHUNK
+    """Generous default: atlas faces are tiny (mostly 0-1 tiles each).
+    Power-of-two bucketed so per-mesh face counts reuse compiled programs
+    (the pair loop's trip count is traced, so slack costs nothing)."""
+    return 1 << max(16, int(4 * max(n_faces, 1) - 1).bit_length())
+
+
+def default_pair2_capacity(resolution: int) -> int:
+    """Coarse-tier capacity: oversized faces are rare (bbox > 32 texels);
+    sized off the atlas, not the face count."""
+    return 1 << max(13, (2 * (resolution // TILE2) ** 2 - 1).bit_length())
+
+
+def default_multi_capacity(pair_capacity: int) -> int:
+    """Fine-tier multi-tile face list: small on purpose (the slot expansion
+    scales with it); overflow is signalled and retried."""
+    return max(65536, pair_capacity // 64)
 
 
 _rasterize_jit = jax.jit(_rasterize_core, static_argnums=(6, 7))
-_rasterize_binned_jit = jax.jit(_rasterize_binned_core, static_argnums=(6, 7))
+_rasterize_binned_jit = jax.jit(_rasterize_binned_core, static_argnums=(6, 7, 8, 9))
 
 
 def _pick_row_chunk(resolution: int, n_faces: int) -> int:
@@ -331,22 +431,29 @@ def _pick_row_chunk(resolution: int, n_faces: int) -> int:
 
 
 def rasterize_device(
-    u0, v0, u1, v1, u2, v2, resolution: int, pair_capacity: int = 0
+    u0, v0, u1, v1, u2, v2, resolution: int, pair_capacity: int = 0,
+    pair2_capacity: int = 0, multi_capacity: int = 0,
 ):
     """Trace-friendly rasterize: SoA per-corner UVs already on device.
 
-    With ``pair_capacity > 0`` uses the binned path and returns
-    (rast, total_pairs, max_span) for host-side overflow checks; with 0 the
-    brute-force path and trivially-satisfied indicators.
+    With ``pair_capacity > 0`` uses the two-tier binned path and returns
+    (rast, total_pairs_fine, total_pairs_coarse, n_multi_fine) for host-side
+    overflow checks; with 0 the brute-force path and trivially-satisfied
+    indicators.
     """
     F = u0.shape[0]
     if pair_capacity > 0:
+        if pair2_capacity <= 0:
+            pair2_capacity = default_pair2_capacity(resolution)
+        if multi_capacity <= 0:
+            multi_capacity = default_multi_capacity(pair_capacity)
         return _rasterize_binned_core(
-            u0, v0, u1, v1, u2, v2, resolution, pair_capacity
+            u0, v0, u1, v1, u2, v2, resolution, pair_capacity, pair2_capacity,
+            multi_capacity,
         )
     row_chunk = _pick_row_chunk(resolution, F)
     rast = _rasterize_core(u0, v0, u1, v1, u2, v2, resolution, row_chunk)
-    return rast, jnp.int32(0), jnp.int32(0)
+    return rast, jnp.int32(0), jnp.int32(0), jnp.int32(0)
 
 
 def interpolate_device(attr_cf: jnp.ndarray, rast: jnp.ndarray, fa, fb, fc) -> jnp.ndarray:
@@ -367,9 +474,8 @@ def interpolate_device(attr_cf: jnp.ndarray, rast: jnp.ndarray, fa, fb, fc) -> j
 def rasterize(uv: np.ndarray, faces: np.ndarray, resolution: int) -> jnp.ndarray:
     """uv (Nv, 2), faces (F, 3) -> (4, res, res) device array.
 
-    Prefers the binned path (retrying on pair-capacity overflow); falls back
-    to the brute-force path when a face spans > MAX_TSPAN tiles (huge faces
-    relative to the atlas) or the resolution isn't tile-aligned."""
+    Prefers the two-tier binned path (retrying on pair-capacity overflow);
+    the brute-force path only serves non-tile-aligned resolutions."""
     uv = np.asarray(uv, np.float32)
     faces = np.asarray(faces)
     tri = uv[faces]  # (F, 3, 2)
@@ -378,17 +484,23 @@ def rasterize(uv: np.ndarray, faces: np.ndarray, resolution: int) -> jnp.ndarray
     )
     u0, v0, u1, v1, u2, v2 = corners
 
-    if resolution % TILE == 0:
+    if resolution % TILE2 == 0:
         cap = default_pair_capacity(len(faces))
+        cap2 = default_pair2_capacity(resolution)
+        mcap = default_multi_capacity(cap)
         while True:
-            rast, total_pairs, max_span = _rasterize_binned_jit(
-                u0, v0, u1, v1, u2, v2, resolution, cap
+            rast, fine, coarse, nmulti = _rasterize_binned_jit(
+                u0, v0, u1, v1, u2, v2, resolution, cap, cap2, mcap
             )
-            if int(max_span) > MAX_TSPAN:
-                break  # fall back to brute force below
-            if int(total_pairs) <= cap:
+            fine, coarse, nmulti = int(fine), int(coarse), int(nmulti)
+            if fine <= cap and coarse <= cap2 and nmulti <= mcap:
                 return rast
-            cap = -(-2 * max(cap, int(total_pairs)) // _PAIR_CHUNK) * _PAIR_CHUNK
+            if fine > cap:
+                cap = -(-2 * max(cap, fine) // _PAIR_CHUNK) * _PAIR_CHUNK
+            if coarse > cap2:
+                cap2 = -(-2 * max(cap2, coarse) // _PAIR2_CHUNK) * _PAIR2_CHUNK
+            if nmulti > mcap:
+                mcap = 2 * max(mcap, nmulti)
 
     row_chunk = _pick_row_chunk(resolution, len(faces))
     return _rasterize_jit(u0, v0, u1, v1, u2, v2, resolution, row_chunk)

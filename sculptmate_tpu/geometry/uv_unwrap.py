@@ -92,15 +92,17 @@ def _box_assign(v_pos, v_nrm, faces):
     )
     index = (face_normal @ axes.T).argmax(-1)  # (F,)
 
+    # gather per-face rule components (one pass; the 6x boolean-mask loop
+    # copied whole (F, 3, 3) arrays per rule and cost ~2 s at 700K faces)
+    rules = np.asarray(_FACE_RULES, np.int64)  # (6, 6)
     F = len(faces)
-    uc = np.zeros((F, 3), np.float32)
-    vc = np.zeros((F, 3), np.float32)
-    max_axis = np.ones((F, 3), np.float32)
-    for fi, (ax, sgn, ua, us, va, vs) in enumerate(_FACE_RULES):
-        m = index == fi
-        max_axis[m] = np.abs(tri[m][..., ax])
-        uc[m] = us * tri[m][..., ua]
-        vc[m] = vs * tri[m][..., va]
+    ar = np.arange(F)
+    ax_f = rules[index, 0]
+    ua_f, us_f = rules[index, 2], rules[index, 3].astype(np.float32)
+    va_f, vs_f = rules[index, 4], rules[index, 5].astype(np.float32)
+    max_axis = np.abs(tri[ar[:, None], np.arange(3)[None, :], ax_f[:, None]])
+    uc = us_f[:, None] * tri[ar[:, None], np.arange(3)[None, :], ua_f[:, None]]
+    vc = vs_f[:, None] * tri[ar[:, None], np.arange(3)[None, :], va_f[:, None]]
 
     # reference quirk: normalization by the per-corner-slot max over all faces
     max_dim_div = max_axis.max(axis=0, keepdims=True)
@@ -381,9 +383,20 @@ def unwrap(
     vc = placed[..., 1] / div_y[:, None] + offset_y[:, None]
     uv_flat = np.stack([uc, vc], axis=-1).reshape(-1, 2)
 
-    # 1D unique over a complex view (lexicographic on (u, v)) - np.unique
-    # with axis=0 is several times slower at millions of rows
-    packed = np.ascontiguousarray(uv_flat, np.float32).view(np.complex64).ravel()
-    _, first, unique_idx = np.unique(packed, return_index=True, return_inverse=True)
-    unique_uv = uv_flat[first]
+    # 1D unique over a packed uint64 key: int sort is ~4x faster than the
+    # complex64 lexicographic compare (and np.unique(axis=0) is worse still).
+    # +0.0 normalizes any -0.0 so the bit pack can't split equal UVs.
+    bits = (
+        np.ascontiguousarray(uv_flat + 0.0, np.float32).view(np.uint32).astype(np.uint64)
+    )
+    packed = (bits[:, 0] << np.uint64(32)) | bits[:, 1]
+    order = np.argsort(packed, kind="stable")
+    sp = packed[order]
+    new = np.empty(len(sp), bool)
+    new[0] = True
+    np.not_equal(sp[1:], sp[:-1], out=new[1:])
+    gid = np.cumsum(new) - 1
+    unique_idx = np.empty(len(sp), np.int64)
+    unique_idx[order] = gid
+    unique_uv = uv_flat[order[new]]
     return unique_uv.astype(np.float32), unique_idx.reshape(-1, 3)

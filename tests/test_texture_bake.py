@@ -99,12 +99,12 @@ def test_binned_matches_brute_small_faces(rng):
         texture_bake._rasterize_core(*args, res, texture_bake._pick_row_chunk(res, len(faces)))
     )
     cap = texture_bake.default_pair_capacity(len(faces))
-    binned, total_pairs, max_span = (
+    cap2 = texture_bake.default_pair2_capacity(res)
+    binned, fine, coarse, nmulti = (
         np.asarray(x)
-        for x in texture_bake._rasterize_binned_jit(*args, res, cap)
+        for x in texture_bake._rasterize_binned_jit(*args, res, cap, cap2, 4096)
     )
-    assert int(max_span) <= texture_bake.MAX_TSPAN
-    assert int(total_pairs) <= cap
+    assert int(fine) <= cap and int(coarse) <= cap2 and int(nmulti) <= 4096
     np.testing.assert_array_equal(binned[3], brute[3])
     # sliver triangles amplify f32 reassociation noise between the two programs
     np.testing.assert_allclose(binned[:3], brute[:3], atol=1e-3)
@@ -116,17 +116,57 @@ def test_binned_pair_capacity_overflow_detected(rng):
     tri = uv[faces]
     args = tuple(jnp.asarray(tri[:, c, d]) for c in range(3) for d in range(2))
     cap = texture_bake._PAIR_CHUNK  # deliberately too small
-    _, total_pairs, _ = texture_bake._rasterize_binned_jit(*args, res, cap)
+    cap2 = texture_bake.default_pair2_capacity(res)
+    _, total_pairs, _, _ = texture_bake._rasterize_binned_jit(*args, res, cap, cap2, 4096)
     # the host wrapper retries on this signal; here just assert it's exact
     full_cap = texture_bake.default_pair_capacity(len(faces))
-    _, total_full, _ = texture_bake._rasterize_binned_jit(*args, res, full_cap)
+    _, total_full, _, _ = texture_bake._rasterize_binned_jit(*args, res, full_cap, cap2, 4096)
     assert int(total_pairs) == int(total_full)
 
 
 def test_rasterize_host_wrapper_binned_path(rng):
-    res = 32
+    res = 64
     uv, faces = _small_tri_soup(rng, n=100, size=0.05)
     got = np.asarray(texture_bake.rasterize(uv, faces, res))
     ref = _brute_force_raster(uv, faces, res)
     np.testing.assert_array_equal(got[3], ref[..., 3])
     np.testing.assert_allclose(got[0], ref[..., 0], atol=1e-5)
+
+
+def test_binned_coarse_tier_oversized_faces(rng):
+    """Faces spanning > MAX_TSPAN fine tiles route to the 64x64 coarse tier
+    and must still match the brute-force oracle exactly."""
+    res = 64
+    uv_small, faces_small = _small_tri_soup(rng, n=50, size=0.05)
+    # a few huge faces covering most of the atlas
+    uv_big = np.array(
+        [[0.02, 0.02], [0.95, 0.05], [0.1, 0.9],
+         [0.9, 0.93], [0.15, 0.8], [0.97, 0.2]],
+        np.float32,
+    )
+    uv = np.concatenate([uv_small, uv_big])
+    faces = np.concatenate(
+        [faces_small, len(uv_small) + np.arange(6).reshape(2, 3)]
+    )
+    tri = uv[faces]
+    args = tuple(jnp.asarray(tri[:, c, d]) for c in range(3) for d in range(2))
+
+    brute = np.asarray(
+        texture_bake._rasterize_core(
+            *args, res, texture_bake._pick_row_chunk(res, len(faces))
+        )
+    )
+    cap = texture_bake.default_pair_capacity(len(faces))
+    cap2 = texture_bake.default_pair2_capacity(res)
+    binned, fine, coarse, _ = (
+        np.asarray(x)
+        for x in texture_bake._rasterize_binned_jit(*args, res, cap, cap2, 4096)
+    )
+    assert int(coarse) > 0  # the big faces actually used the coarse tier
+    # texels exactly on a triangle edge can flip winners under f32
+    # reassociation differences between the two programs; bound them
+    same = binned[3] == brute[3]
+    assert same.mean() > 0.99, f"{(~same).sum()} winner mismatches"
+    np.testing.assert_allclose(
+        binned[:3][:, same], brute[:3][:, same], atol=1e-3
+    )
