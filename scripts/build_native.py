@@ -13,7 +13,7 @@ import argparse
 import os
 import sys
 
-NATIVE = ["quadric_decimate", "isotropic_remesh", "unwrap_overlap", "mc_wire"]
+NATIVE = ["quadric_decimate", "isotropic_remesh", "unwrap_overlap", "mc_wire", "mt_wire"]
 
 
 def main() -> int:

@@ -12,8 +12,9 @@ from sculptmate_tpu.ops.density_grid import mlp_weights_from_params, query_densi
 from sculptmate_tpu.geometry.marching_cubes import _vertex_side, mc_wire_device, pack_bits_u8
 from sculptmate_tpu.geometry import mc_wire
 
-R = 256
-MV = 786432
+import sys
+R = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+MV = int(sys.argv[2]) if len(sys.argv) > 2 else 786432
 
 
 def sync(x):
@@ -44,16 +45,19 @@ def main():
     weights = mlp_weights_from_params(tsr.params["decoder"]["layers"])
     spec = tsr.grid_spec(R)
     d64 = np.asarray(query_density_grid(code, weights, tsr.grid_spec(64)))
-    thr = float(np.quantile(d64, 0.99))
+    thr = float(np.quantile(d64, 0.99 if R == 256 else 0.995))
 
     dens_fn = jax.jit(lambda c: query_density_grid(c, weights, spec) - thr)
     timeit("density 256^3", dens_fn, code)
     level = jax.block_until_ready(dens_fn(code))
 
+    from sculptmate_tpu.geometry.marching_cubes import default_block_capacity
+    BC = default_block_capacity(R, MV)
+    print(f"# block capacity {BC}")
     vside = jax.jit(
         lambda lv: _vertex_side(
-            lv, lv > 0, jnp.arange(R) < R - 1, MV, 36864, False
-        )[6],
+            lv, lv > 0, jnp.arange(R) < R - 1, MV, BC, False
+        )[0].sum(),
         )
     timeit("vertex side (masks+vid+compact+pos)", vside, level)
 
@@ -66,7 +70,7 @@ def main():
     timeit("mc_wire_device (no colors)", wire_nocol, level)
 
     full = jax.jit(
-        lambda c: tsr._extract_wire_jit(c, R, thr, MV, True, 36864)
+        lambda c: tsr._extract_wire_jit(c, R, thr, MV, True, BC)
     )
     timeit("extract_wire (dens+verts+colors+pack)", full, code)
 

@@ -91,6 +91,27 @@ def _block_bases(RX: int, RY: int, RZ: int) -> np.ndarray:
     ).astype(np.int32)
 
 
+def to_blocked_rows(x3: jnp.ndarray) -> jnp.ndarray:
+    """(RX, RY, RZ) -> (NB, 512) block-major rows (block order bx,by,bz;
+    within-block ox,oy,oz — matching ``_block_bases``/``_block_local_offsets``).
+
+    Streamed over bx with ``lax.map``: a single 6D transpose materializes
+    under a T(8,128) tiled layout that pads the (nbz, 8) minor dims 16x —
+    25.7 GB at 512^3 (observed OOM). Per-slab the padded intermediate is
+    ~16x of 8 MB instead.
+    """
+    RX, RY, RZ = x3.shape
+    nbx, nby, nbz = RX // BS, RY // BS, RZ // BS
+
+    def slab(xs):  # (BS, RY, RZ)
+        y = xs.reshape(BS, nby, BS, nbz, BS)  # (ox, by, oy, bz, oz)
+        y = y.transpose(1, 3, 0, 2, 4)  # (by, bz, ox, oy, oz)
+        return y.reshape(nby * nbz, BS * BS * BS)
+
+    out = jax.lax.map(slab, x3.reshape(nbx, BS, RY, RZ))
+    return out.reshape(nbx * nby * nbz, BS * BS * BS)
+
+
 def _compact_blocks(block_mask_flat: jnp.ndarray, cap: int):
     """Tiny compaction over the block grid. Returns (ids (cap,), count)."""
     n = block_mask_flat.shape[0]
@@ -134,11 +155,25 @@ def _vertex_side(
         return m
 
     masks = [cut_mask(a) for a in range(3)]
-    mask_flat = jnp.concatenate([m.ravel() for m in masks])  # (3 n3,)
 
     # -- global vertex ids -------------------------------------------------
-    vid = jnp.cumsum(mask_flat.astype(jnp.int32)) - 1
-    num_verts = vid[-1] + 1
+    # same values as cumsum(mask_flat) - 1 over the concatenated flat masks,
+    # but computed as per-z-row cumsums (parallel over 3R^2 rows) + a tiny
+    # row-base prefix: the single 3R^3-element scan is latency-bound on TPU
+    # (~330 ms at 512^3 vs ~30 ms this way)
+    row_tot = jnp.concatenate(
+        [m.sum(axis=2, dtype=jnp.int32).ravel() for m in masks]
+    )  # (3 RX RY,)
+    row_base = jnp.cumsum(row_tot) - row_tot
+    num_verts = row_base[-1] + row_tot[-1]
+    vid3 = [
+        row_base[a * RX * RY : (a + 1) * RX * RY].reshape(RX, RY, 1)
+        + jnp.cumsum(m, axis=2, dtype=jnp.int32)
+        - 1
+        for a, m in enumerate(masks)
+    ]
+    vid = jnp.concatenate([v.ravel() for v in vid3])  # (3 n3,)
+    mask_flat = jnp.concatenate([m.ravel() for m in masks])  # (3 n3,)
 
     # -- active vertex blocks: (3, NB) any-reduce -------------------------
     def block_any(m):
@@ -162,24 +197,13 @@ def _vertex_side(
         vb_base = block_base[vb_safe % NB]
 
         # re-tile mask/vid into block-major (3NB, 512) rows FIRST (a regular
-        # transpose, bandwidth-bound), then gather whole contiguous rows:
-        # arbitrary-index element gathers lower to ~40M elem/s on TPU
+        # streamed transpose, bandwidth-bound), then gather whole contiguous
+        # rows: arbitrary-index element gathers lower to ~40M elem/s on TPU
         # (measured ~530 ms for the same data at 256^3), contiguous row
         # gathers to ~85 ms
-        def to_blocked(x3):
-            return (
-                x3.reshape(nbx, BS, nby, BS, nbz, BS)
-                .transpose(0, 2, 4, 1, 3, 5)
-                .reshape(NB, BS * BS * BS)
-            )
-
-        mask_b = jnp.concatenate([to_blocked(m) for m in masks], axis=0)
+        mask_b = jnp.concatenate([to_blocked_rows(m) for m in masks], axis=0)
         vid_b = jnp.concatenate(
-            [
-                to_blocked(vid[a * n3 : (a + 1) * n3].reshape(RX, RY, RZ))
-                for a in range(3)
-            ],
-            axis=0,
+            [to_blocked_rows(v) for v in vid3], axis=0
         )
         gmask = mask_b[vb_safe] & vblk_valid[:, None]
         gvid = vid_b[vb_safe]
@@ -281,7 +305,7 @@ def mc_wire_device(
         ).astype(jnp.uint8)
         rgb = [to_u8(c) for c in color_fn(vx, vy, vz, valid_v)]
     else:
-        rgb = [jnp.zeros((max_verts,), jnp.uint8)] * 3
+        rgb = []  # color rows are omitted entirely (fewer D2H bytes)
 
     counts = jnp.stack(
         [num_verts, n_vblocks, *extra_counts]
@@ -391,12 +415,7 @@ def marching_cubes(
         cidx = fb_base[:, None] + local_off[None, :]  # (A, 512) cell flat idx
         # contiguous row gather from the block-major re-tiling (see the
         # vertex side: element gathers are ~6x slower on TPU)
-        ntri_b = (
-            ntri.reshape(nbx, BS, nby, BS, nbz, BS)
-            .transpose(0, 2, 4, 1, 3, 5)
-            .reshape(NB, BS * BS * BS)
-        )
-        cnt = ntri_b[fb_safe] * fblk_valid[:, None]  # (A, 512)
+        cnt = to_blocked_rows(ntri)[fb_safe] * fblk_valid[:, None]  # (A, 512)
         # rank of each cell's first face within its block
         local_rank = jnp.cumsum(cnt.reshape(cnt.shape[0], -1), axis=1) - cnt
         first_face = fb_off[:, None] + local_rank  # (A, 512)

@@ -85,24 +85,20 @@ def _block_bases(Np: int) -> np.ndarray:
     )
 
 
-def marching_tets(
+def _mt_vertex_side(
     sdf: jnp.ndarray,
     deform_x: Optional[jnp.ndarray],
     deform_y: Optional[jnp.ndarray],
     deform_z: Optional[jnp.ndarray],
     resolution: int,
     max_verts: int,
-    max_faces: int,
-    vert_block_capacity: int = 0,
-    cube_block_capacity: int = 0,
-    cube_capacity: int = 0,
-) -> MTResult:
-    """sdf: flat (N^3,) over the (res+1)^3 lattice (x-major: lin = (i*N+j)*N+k);
-    deform_*: optional flat (N^3,) raw offsets (tanh-normalized here).
-    Vertices returned in [0, 1]^3 lattice coordinate space.
-    """
-    import jax
+    vert_block_capacity: int,
+):
+    """Cut-edge detection + deformed vertex positions, block-compacted.
 
+    Returns (vx, vy, vz, valid_v, vid (7 n3p,), occ3, num_verts, n_vblocks).
+    Shared by ``marching_tets`` (full device MT) and ``mt_wire_device``.
+    """
     N = lattice_size(resolution)
     n3 = N * N * N
     assert sdf.shape == (n3,)
@@ -110,16 +106,7 @@ def marching_tets(
     n3p = Np * Np * Np
     nb1 = Np // BS
     NB = nb1**3
-    if vert_block_capacity <= 0:
-        vert_block_capacity = default_block_capacity(resolution, "verts")
-    if cube_block_capacity <= 0:
-        cube_block_capacity = default_block_capacity(resolution, "cubes")
-    if cube_capacity <= 0:
-        cube_capacity = max(1, max_faces // 3)
 
-    edge_class_np, edge_anchor_np, tri_table_np, tri_count_np, tet_corners = (
-        build_tet_tables()
-    )
     local_off = jnp.asarray(_block_local_offsets(Np))  # (512,)
     block_base = jnp.asarray(_block_bases(Np))  # (NB,)
 
@@ -155,10 +142,22 @@ def marching_tets(
         return m & dom
 
     masks = [cut_mask(d) for d in range(7)]
-    mask_flat = jnp.concatenate([m.ravel() for m in masks])  # (7 n3p,)
 
-    vid = jnp.cumsum(mask_flat.astype(jnp.int32)) - 1
-    num_verts = vid[-1] + 1
+    # vid = global cumsum over the class-major flat masks, computed as
+    # per-z-row cumsums + a row-base prefix (the single 7 n3p scan is
+    # latency-bound on TPU — see marching_cubes._vertex_side)
+    row_tot = jnp.concatenate(
+        [m.sum(axis=2, dtype=jnp.int32).ravel() for m in masks]
+    )  # (7 Np Np,)
+    row_base = jnp.cumsum(row_tot) - row_tot
+    num_verts = row_base[-1] + row_tot[-1]
+    vid3 = [
+        row_base[c * Np * Np : (c + 1) * Np * Np].reshape(Np, Np, 1)
+        + jnp.cumsum(m, axis=2, dtype=jnp.int32)
+        - 1
+        for c, m in enumerate(masks)
+    ]
+    vid = jnp.concatenate([v.ravel() for v in vid3])  # (7 n3p,)
 
     # -- active vertex blocks ---------------------------------------------
     def block_any(m):
@@ -176,19 +175,13 @@ def marching_tets(
     vb_base = block_base[vb_safe % NB]
 
     # block-major re-tiling first, then contiguous row gathers (element
-    # gathers are ~6x slower on TPU — see marching_cubes._vertex_side)
-    def to_blocked(x3):
-        return (
-            x3.reshape(nb1, BS, nb1, BS, nb1, BS)
-            .transpose(0, 2, 4, 1, 3, 5)
-            .reshape(NB, BS * BS * BS)
-        )
+    # gathers are ~6x slower on TPU — see marching_cubes._vertex_side; the
+    # streamed transpose avoids the 16x tiled-layout blowup of a one-shot 6D
+    # transpose)
+    from sculptmate_tpu.geometry.marching_cubes import to_blocked_rows as to_blocked
 
     mask_b = jnp.concatenate([to_blocked(m) for m in masks], axis=0)  # (7NB, 512)
-    vid_b = jnp.concatenate(
-        [to_blocked(vid[c * n3p : (c + 1) * n3p].reshape(Np, Np, Np)) for c in range(7)],
-        axis=0,
-    )
+    vid_b = jnp.concatenate([to_blocked(v) for v in vid3], axis=0)
     gmask = mask_b[vb_safe] & vblk_valid[:, None]
     gvid = vid_b[vb_safe]
     gidx = vb_cls[:, None] * n3p + vb_base[:, None] + local_off[None, :]
@@ -235,6 +228,110 @@ def marching_tets(
     vx = jnp.where(valid_v, pos(lin, 0) + t * (pos(lin2, 0) - pos(lin, 0)), 0.0)
     vy = jnp.where(valid_v, pos(lin, 1) + t * (pos(lin2, 1) - pos(lin, 1)), 0.0)
     vz = jnp.where(valid_v, pos(lin, 2) + t * (pos(lin2, 2) - pos(lin, 2)), 0.0)
+    return vx, vy, vz, valid_v, vid, occ3, num_verts, n_vblocks
+
+
+def mt_wire_device(
+    sdf: jnp.ndarray,
+    deform_x: Optional[jnp.ndarray],
+    deform_y: Optional[jnp.ndarray],
+    deform_z: Optional[jnp.ndarray],
+    resolution: int,
+    max_verts: int,
+    vert_block_capacity: int = 0,
+    extra_counts: Tuple = (),
+) -> jnp.ndarray:
+    """Compact wire-format MT extraction (see ``geometry/mt_wire.py``).
+
+    Ships the PADDED occupancy bitmask + per-cut-edge deformed positions as
+    3x uint16 over [-1/res, 1 + 1/res] (the learned offsets make positions
+    non-recomputable from occupancy, unlike MC's scalar t), as ONE uint8
+    buffer:
+
+        [occ bits n3p/8][px lo][px hi][py lo][py hi][pz lo][pz hi  mv each]
+        [counts: num_verts, n_vblocks, extra... 4 B each LE]
+
+    ~4.3 MB at res 160 vs ~22 MB for the packed f32 mesh; faces and vertex
+    ids are rebuilt by ``native/mt_wire.cpp``, and the device-side face
+    machinery drops off the hot path entirely.
+    """
+    from sculptmate_tpu.geometry.marching_cubes import pack_bits_u8
+
+    if vert_block_capacity <= 0:
+        vert_block_capacity = default_block_capacity(resolution, "verts")
+
+    vx, vy, vz, valid_v, _vid, occ3, num_verts, n_vblocks = _mt_vertex_side(
+        sdf, deform_x, deform_y, deform_z, resolution, max_verts,
+        vert_block_capacity,
+    )
+
+    occ_bytes = pack_bits_u8(occ3.ravel())
+
+    lo = -1.0 / resolution
+    rng = 1.0 + 2.0 / resolution
+
+    def q16(v):
+        q = jnp.clip(jnp.round((v - lo) / rng * 65535.0), 0, 65535).astype(
+            jnp.int32
+        )
+        q = jnp.where(valid_v, q, 0)
+        return (q & 0xFF).astype(jnp.uint8), (q >> 8).astype(jnp.uint8)
+
+    px = q16(vx)
+    py = q16(vy)
+    pz = q16(vz)
+
+    counts = jnp.stack([num_verts, n_vblocks, *extra_counts]).astype(jnp.uint32)
+    count_bytes = jnp.stack(
+        [(counts >> (8 * b)) & 0xFF for b in range(4)], axis=1
+    ).reshape(-1).astype(jnp.uint8)
+
+    return jnp.concatenate(
+        [occ_bytes, px[0], px[1], py[0], py[1], pz[0], pz[1], count_bytes]
+    )
+
+
+def marching_tets(
+    sdf: jnp.ndarray,
+    deform_x: Optional[jnp.ndarray],
+    deform_y: Optional[jnp.ndarray],
+    deform_z: Optional[jnp.ndarray],
+    resolution: int,
+    max_verts: int,
+    max_faces: int,
+    vert_block_capacity: int = 0,
+    cube_block_capacity: int = 0,
+    cube_capacity: int = 0,
+) -> MTResult:
+    """sdf: flat (N^3,) over the (res+1)^3 lattice (x-major: lin = (i*N+j)*N+k);
+    deform_*: optional flat (N^3,) raw offsets (tanh-normalized here).
+    Vertices returned in [0, 1]^3 lattice coordinate space.
+    """
+    N = lattice_size(resolution)
+    n3 = N * N * N
+    Np = -(-N // BS) * BS
+    n3p = Np * Np * Np
+    nb1 = Np // BS
+    NB = nb1**3
+    if vert_block_capacity <= 0:
+        vert_block_capacity = default_block_capacity(resolution, "verts")
+    if cube_block_capacity <= 0:
+        cube_block_capacity = default_block_capacity(resolution, "cubes")
+    if cube_capacity <= 0:
+        cube_capacity = max(1, max_faces // 3)
+
+    edge_class_np, edge_anchor_np, tri_table_np, tri_count_np, tet_corners = (
+        build_tet_tables()
+    )
+    local_off = jnp.asarray(_block_local_offsets(Np))  # (512,)
+    block_base = jnp.asarray(_block_bases(Np))  # (NB,)
+
+    vx, vy, vz, valid_v, vid, occ3, num_verts, n_vblocks = _mt_vertex_side(
+        sdf, deform_x, deform_y, deform_z, resolution, max_verts,
+        vert_block_capacity,
+    )
+    ar = jnp.arange(Np)
+    from sculptmate_tpu.geometry.marching_cubes import to_blocked_rows as to_blocked
 
     # -- triangles: per-cube per-tet 4-bit cases ----------------------------
     # cube grid lives in the same padded Np^3 layout (cube i,j,k anchored at
@@ -283,9 +380,9 @@ def marching_tets(
     fb_base = block_base[fb_safe]
 
     cidx = fb_base[:, None] + local_off[None, :]  # (A, 512) cube flat idx
-    ccnt = to_blocked(ntri_cube.reshape(Np, Np, Np))[fb_safe] * fblk_valid[
-        :, None
-    ]  # (A, 512) contiguous row gather
+    ccnt = (
+        to_blocked(ntri_cube.reshape(Np, Np, Np))[fb_safe] * fblk_valid[:, None]
+    )  # (A, 512) contiguous row gather
     local_rank = jnp.cumsum(ccnt, axis=1) - ccnt
     first_face = fb_off[:, None] + local_rank  # (A, 512)
 

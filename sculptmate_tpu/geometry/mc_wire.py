@@ -26,15 +26,20 @@ from sculptmate_tpu.geometry.native import load_native
 N_WIRE_COUNTS = 2  # num_verts, n_vblocks (callers may append extras)
 
 
-def wire_layout(shape: Tuple[int, int, int], max_verts: int, n_counts: int):
+def wire_layout(
+    shape: Tuple[int, int, int], max_verts: int, n_counts: int,
+    has_colors: bool = True,
+):
     """Byte offsets of the wire sections: (occ, t_lo, t_hi, r, g, b, counts,
-    total)."""
+    total). Without colors the r/g/b sections are empty (same offsets)."""
     n3 = shape[0] * shape[1] * shape[2]
     occ = n3 // 8
     offs = [0, occ]
-    for _ in range(4):
-        offs.append(offs[-1] + max_verts)
-    offs.append(offs[-1] + max_verts)  # end of b == counts start
+    offs.append(offs[-1] + max_verts)  # t_lo -> t_hi
+    offs.append(offs[-1] + max_verts)  # t_hi -> r
+    step = max_verts if has_colors else 0
+    for _ in range(3):
+        offs.append(offs[-1] + step)
     total = offs[-1] + 4 * n_counts
     return (*offs, total)
 
@@ -98,12 +103,13 @@ def decode_wire(
     shape: Tuple[int, int, int],
     max_verts: int,
     n_counts: int = N_WIRE_COUNTS,
+    has_colors: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """wire (W,) uint8 -> (verts (nv,3) f32 lattice coords, faces (nf,3) i32,
     colors (nv,3) f32, counts (n_counts,) u32). Raises on malformed input."""
     wire = np.ascontiguousarray(wire, np.uint8)
     o_occ, o_tlo, o_thi, o_r, o_g, o_b, o_counts, total = wire_layout(
-        shape, max_verts, n_counts
+        shape, max_verts, n_counts, has_colors
     )
     if wire.size != total:
         raise ValueError(f"wire size {wire.size} != expected {total}")
@@ -115,9 +121,12 @@ def decode_wire(
     occ = wire[o_occ:o_tlo]
     t_lo = wire[o_tlo:o_thi]
     t_hi = wire[o_thi:o_r]
-    cr = wire[o_r:o_g]
-    cg = wire[o_g:o_b]
-    cb = wire[o_b:o_counts]
+    if has_colors:
+        cr = wire[o_r:o_g]
+        cg = wire[o_g:o_b]
+        cb = wire[o_b:o_counts]
+    else:
+        cr = cg = cb = np.zeros(max_verts, np.uint8)
 
     if nv == 0:
         return (

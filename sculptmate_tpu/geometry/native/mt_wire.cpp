@@ -1,0 +1,258 @@
+// Host-side reconstruction of the marching-tetrahedra wire format.
+//
+// Counterpart of mc_wire.cpp for the SF3D path (geometry/marching_tets.py):
+// the device ships the PADDED-lattice occupancy bitmask (Np^3 bits, Np =
+// ceil(N/8)*8, z-minor little-endian) plus per-cut-edge DEFORMED vertex
+// positions quantized to uint16 over [-1/res, 1 + 1/res] (positions depend on
+// the learned vertex-offset field, so unlike MC's t they cannot be recomputed
+// from occupancy alone). Faces and vertex ids are pure Freudenthal-table
+// logic on the occupancy field, rebuilt here bit-parallel:
+//
+//   - 7 edge-class cut words (one XOR + shift per 64 lattice edges)
+//   - vertex ids: popcount prefix sums per word, class-major order matching
+//     the device's vid cumsum over the padded grid
+//   - cubes: a 64-cell activity word (any corner pair differs) from 8 corner
+//     words; only set bits are visited; each active cube evaluates its 6
+//     tets' 4-bit cases
+//
+// Tables (edge class/anchor per tet-edge slot, per-tet 16-case tri table)
+// are passed in from Python (geometry/mt_tables.py) so this file holds no
+// generated data. Conventions mirror marching_tets.py exactly.
+//
+// Build: scripts/build_native.py (g++ -O3 -shared -fPIC).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// the 7 edge direction classes, fixed order (mt_tables.EDGE_DIRS)
+static const int DIRS[7][3] = {
+    {1, 0, 0}, {0, 1, 0}, {0, 0, 1}, {1, 1, 0}, {1, 0, 1}, {0, 1, 1}, {1, 1, 1},
+};
+
+struct TGrid {
+    int N;   // real lattice points per axis
+    int Np;  // padded (multiple of 8)
+    int nw;  // 64-bit words per z-row of the padded grid
+    std::vector<uint64_t> occ;
+    std::vector<uint64_t> cut[7];
+    std::vector<uint32_t> pre[7];
+
+    inline size_t w(int i, int j, int z) const {
+        return ((size_t)i * Np + j) * nw + z;
+    }
+};
+
+static void load_occ(TGrid &g, const uint8_t *occ_bytes) {
+    const int row_bytes = g.Np / 8;
+    g.occ.assign((size_t)g.Np * g.Np * g.nw, 0);
+    for (int i = 0; i < g.Np; ++i)
+        for (int j = 0; j < g.Np; ++j) {
+            const uint8_t *src = occ_bytes + ((size_t)i * g.Np + j) * row_bytes;
+            std::memcpy(&g.occ[g.w(i, j, 0)], src, row_bytes);
+        }
+}
+
+static inline uint64_t shifted(const uint64_t *row, int z, int nw) {
+    uint64_t v = row[z] >> 1;
+    if (z + 1 < nw) v |= row[z + 1] << 63;
+    return v;
+}
+
+// mask of word bits with z-bit index < lim
+static inline uint64_t zmask(int z, int lim) {
+    long rem = (long)lim - (long)z * 64;
+    if (rem <= 0) return 0;
+    if (rem >= 64) return ~0ull;
+    return (~0ull) >> (64 - rem);
+}
+
+static void build_cuts(TGrid &g) {
+    const int N = g.N, Np = g.Np, nw = g.nw;
+    for (int d = 0; d < 7; ++d) g.cut[d].assign(g.occ.size(), 0);
+    for (int d = 0; d < 7; ++d) {
+        const int dx = DIRS[d][0], dy = DIRS[d][1], dz = DIRS[d][2];
+        for (int i = 0; i < N - dx; ++i)
+            for (int j = 0; j < N - dy; ++j) {
+                const uint64_t *self = &g.occ[g.w(i, j, 0)];
+                const uint64_t *nbr = &g.occ[g.w(i + dx, j + dy, 0)];
+                for (int z = 0; z < nw; ++z) {
+                    uint64_t other = dz ? shifted(nbr, z, nw) : nbr[z];
+                    g.cut[d][g.w(i, j, z)] =
+                        (self[z] ^ other) & zmask(z, N - dz);
+                }
+            }
+    }
+}
+
+static uint32_t build_prefix(TGrid &g) {
+    uint32_t run = 0;
+    for (int d = 0; d < 7; ++d) {
+        g.pre[d].resize(g.cut[d].size());
+        for (size_t w = 0; w < g.cut[d].size(); ++w) {
+            g.pre[d][w] = run;
+            run += (uint32_t)__builtin_popcountll(g.cut[d][w]);
+        }
+    }
+    return run;
+}
+
+static inline uint32_t vid_of(const TGrid &g, int d, int i, int j, int k) {
+    size_t w = g.w(i, j, k >> 6);
+    uint64_t below = g.cut[d][w] & ((1ull << (k & 63)) - 1);
+    return g.pre[d][w] + (uint32_t)__builtin_popcountll(below);
+}
+
+} // namespace
+
+extern "C" {
+
+// Count reconstructed faces (per-tet cases over active cubes).
+// tri_count: (6*16,) int32. Returns -1 on bad arguments.
+long long mt_wire_count_faces(const uint8_t *occ_bytes, int N, int Np,
+                              const int32_t *tri_count) {
+    if (Np % 8 != 0 || Np < N || N < 2) return -1;
+    TGrid g;
+    g.N = N; g.Np = Np; g.nw = (Np + 63) / 64;
+    load_occ(g, occ_bytes);
+
+    long long nf = 0;
+    const int nw = g.nw;
+    for (int i = 0; i < N - 1; ++i)
+        for (int j = 0; j < N - 1; ++j) {
+            const uint64_t *r00 = &g.occ[g.w(i, j, 0)];
+            const uint64_t *r10 = &g.occ[g.w(i + 1, j, 0)];
+            const uint64_t *r01 = &g.occ[g.w(i, j + 1, 0)];
+            const uint64_t *r11 = &g.occ[g.w(i + 1, j + 1, 0)];
+            for (int z = 0; z < nw; ++z) {
+                uint64_t c[8];
+                c[0] = r00[z]; c[1] = r10[z]; c[2] = r01[z]; c[3] = r11[z];
+                c[4] = shifted(r00, z, nw); c[5] = shifted(r10, z, nw);
+                c[6] = shifted(r01, z, nw); c[7] = shifted(r11, z, nw);
+                uint64_t any = 0, all = ~0ull;
+                for (int q = 0; q < 8; ++q) { any |= c[q]; all &= c[q]; }
+                uint64_t active = (any & ~all) & zmask(z, N - 1);
+                while (active) {
+                    int b = __builtin_ctzll(active);
+                    active &= active - 1;
+                    // corner bit layout: occ8 bit (ox + 2*oy + 4*oz); the
+                    // per-tet corner mapping arrives appended after the 96
+                    // tri counts: tri_count[96 + t*4 + v] = corner index
+                    int occ8 = 0;
+                    for (int q = 0; q < 8; ++q)
+                        occ8 |= (int)((c[q] >> b) & 1) << q;
+                    for (int t = 0; t < 6; ++t) {
+                        int cs = 0;
+                        for (int v = 0; v < 4; ++v) {
+                            int corner = tri_count[96 + t * 4 + v];
+                            cs |= ((occ8 >> corner) & 1) << v;
+                        }
+                        nf += tri_count[t * 16 + cs];
+                    }
+                }
+            }
+        }
+    return nf;
+}
+
+// Rebuild the mesh. Positions arrive as 3x uint16 (lo||hi<<8) quantized over
+// [-1/res, 1+1/res] in lattice-unit coordinates (res = N-1).
+// Tables: tri_count (6*16 + 6*4,) int32 (counts ++ per-tet corner indices),
+// tri_table (6*16*2*3,) int32 edge slots, edge_class (6*6,) int32,
+// edge_anchor (6*6*3,) int32.
+// Returns faces written, -1 bad args, -2 vertex-count mismatch, -3 overflow.
+long long mt_wire_build(
+    const uint8_t *occ_bytes, int N, int Np,
+    const uint8_t *px_lo, const uint8_t *px_hi,
+    const uint8_t *py_lo, const uint8_t *py_hi,
+    const uint8_t *pz_lo, const uint8_t *pz_hi,
+    long long nv,
+    const int32_t *tri_count, const int32_t *tri_table,
+    const int32_t *edge_class, const int32_t *edge_anchor,
+    long long max_out_faces,
+    float *out_verts, int32_t *out_faces) {
+    if (Np % 8 != 0 || Np < N || N < 2) return -1;
+    TGrid g;
+    g.N = N; g.Np = Np; g.nw = (Np + 63) / 64;
+    load_occ(g, occ_bytes);
+    build_cuts(g);
+    if ((long long)build_prefix(g) != nv) return -2;
+
+    const float res = (float)(N - 1);
+    const float lo = -1.0f / res;
+    const float range = 1.0f + 2.0f / res;
+
+    // -- vertices in vid order (class-major, padded-flat) -----------------
+    long long v = 0;
+    for (int d = 0; d < 7; ++d)
+        for (int i = 0; i < g.Np; ++i)
+            for (int j = 0; j < g.Np; ++j)
+                for (int z = 0; z < g.nw; ++z) {
+                    uint64_t bits = g.cut[d][g.w(i, j, z)];
+                    while (bits) {
+                        bits &= bits - 1;
+                        out_verts[3 * v + 0] =
+                            lo + range * (float)(px_lo[v] | (px_hi[v] << 8)) / 65535.0f;
+                        out_verts[3 * v + 1] =
+                            lo + range * (float)(py_lo[v] | (py_hi[v] << 8)) / 65535.0f;
+                        out_verts[3 * v + 2] =
+                            lo + range * (float)(pz_lo[v] | (pz_hi[v] << 8)) / 65535.0f;
+                        ++v;
+                    }
+                }
+    if (v != nv) return -2;
+
+    // -- faces -------------------------------------------------------------
+    long long nf = 0;
+    const int nw = g.nw;
+    for (int i = 0; i < N - 1; ++i)
+        for (int j = 0; j < N - 1; ++j) {
+            const uint64_t *r00 = &g.occ[g.w(i, j, 0)];
+            const uint64_t *r10 = &g.occ[g.w(i + 1, j, 0)];
+            const uint64_t *r01 = &g.occ[g.w(i, j + 1, 0)];
+            const uint64_t *r11 = &g.occ[g.w(i + 1, j + 1, 0)];
+            for (int z = 0; z < nw; ++z) {
+                uint64_t c[8];
+                c[0] = r00[z]; c[1] = r10[z]; c[2] = r01[z]; c[3] = r11[z];
+                c[4] = shifted(r00, z, nw); c[5] = shifted(r10, z, nw);
+                c[6] = shifted(r01, z, nw); c[7] = shifted(r11, z, nw);
+                uint64_t any = 0, all = ~0ull;
+                for (int q = 0; q < 8; ++q) { any |= c[q]; all &= c[q]; }
+                uint64_t active = (any & ~all) & zmask(z, N - 1);
+                while (active) {
+                    int b = __builtin_ctzll(active);
+                    active &= active - 1;
+                    int k = z * 64 + b;
+                    int occ8 = 0;
+                    for (int q = 0; q < 8; ++q)
+                        occ8 |= (int)((c[q] >> b) & 1) << q;
+                    for (int t = 0; t < 6; ++t) {
+                        int cs = 0;
+                        for (int vtx = 0; vtx < 4; ++vtx) {
+                            int corner = tri_count[96 + t * 4 + vtx];
+                            cs |= ((occ8 >> corner) & 1) << vtx;
+                        }
+                        int nt = tri_count[t * 16 + cs];
+                        for (int s = 0; s < nt; ++s) {
+                            if (nf >= max_out_faces) return -3;
+                            for (int cc = 0; cc < 3; ++cc) {
+                                int se = tri_table[((t * 16 + cs) * 2 + s) * 3 + cc];
+                                int dcl = edge_class[t * 6 + se];
+                                int ai = i + edge_anchor[(t * 6 + se) * 3 + 0];
+                                int aj = j + edge_anchor[(t * 6 + se) * 3 + 1];
+                                int ak = k + edge_anchor[(t * 6 + se) * 3 + 2];
+                                out_faces[3 * nf + cc] =
+                                    (int32_t)vid_of(g, dcl, ai, aj, ak);
+                            }
+                            ++nf;
+                        }
+                    }
+                }
+            }
+        }
+    return nf;
+}
+
+} // extern "C"

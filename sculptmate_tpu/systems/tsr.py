@@ -546,7 +546,9 @@ class TSR:
             self._wire_cap_cache[resolution] = (mv, bc)
             cached = self._wire_cap_cache[resolution]
 
-            verts, faces, colors, _ = mc_wire.decode_wire(wire, shape, mv)
+            verts, faces, colors, _ = mc_wire.decode_wire(
+                wire, shape, mv, has_colors=bool(has_vertex_color)
+            )
             scale = 2 * self.config.radius / (resolution - 1.0)
             verts_world = verts * scale - self.config.radius
             out.append(

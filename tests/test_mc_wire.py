@@ -95,6 +95,23 @@ def test_wire_empty():
     assert len(verts) == 0 and len(faces) == 0
 
 
+def test_wire_without_colors():
+    level = _sphere(32)
+    mv = 20000
+    wire = np.asarray(
+        jax.jit(mc_wire_device, static_argnums=(1, 2, 4))(
+            jnp.asarray(level), mv, 0, None, None
+        )
+    )
+    v1, f1, _, _ = mc_wire.decode_wire(wire, level.shape, mv, has_colors=False)
+    ref_v, ref_f = _reference_mesh(level, mv, 40000)
+    assert np.array_equal(f1, ref_f)
+    assert np.max(np.abs(v1 - ref_v)) < 2e-4
+    # colorless wire is 3 * mv bytes smaller
+    o = mc_wire.wire_layout(level.shape, mv, mc_wire.N_WIRE_COUNTS, False)
+    assert wire.size == o[-1]
+
+
 def test_wire_numpy_fallback_matches_native():
     level = _sphere(32)
     mv = 20000
@@ -124,4 +141,4 @@ def test_wire_overflow_detected():
         )
     )
     with pytest.raises(OverflowError):
-        mc_wire.decode_wire(wire, level.shape, 64)
+        mc_wire.decode_wire(wire, level.shape, 64, has_colors=False)
