@@ -75,12 +75,22 @@ def main():
 
     from sculptmate_tpu.runtime.logging import StageMetrics
 
-    metrics = StageMetrics()
-    t0 = time.perf_counter()
-    mesh = sf3d.run_image(img, bake_resolution=512, threshold=thr, metrics=metrics)
-    log(f"steady-state run_image: {time.perf_counter()-t0:.2f}s")
-    for name in metrics._order:
-        log(f"  stage {name:10s} {metrics.timings[name]:7.2f}s")
+    # the single-core host is noisy (2-4x run-to-run on host-bound stages):
+    # report per-stage medians of 3
+    runs = []
+    for _ in range(3):
+        metrics = StageMetrics()
+        t0 = time.perf_counter()
+        mesh = sf3d.run_image(
+            img, bake_resolution=512, threshold=thr, metrics=metrics
+        )
+        runs.append((time.perf_counter() - t0, metrics))
+        log(f"steady-state run_image: {runs[-1][0]:.2f}s")
+    med = sorted(r[0] for r in runs)[1]
+    log(f"median run_image: {med:.2f}s")
+    for name in runs[0][1]._order:
+        vals = sorted(r[1].timings[name] for r in runs)
+        log(f"  stage {name:10s} median {vals[1]:7.2f}s  (min {vals[0]:.2f})")
     return 0
 
 

@@ -199,17 +199,46 @@ class Mesh:
         return Mesh(self.v_pos, self.t_pos_idx)
 
     # -- UVs --------------------------------------------------------------
-    def unwrap_uv(self, island_padding: float = 0.02) -> "Mesh":
-        from sculptmate_tpu.geometry.uv_unwrap import unwrap
+    def unwrap_uv(
+        self, island_padding: float = 0.02, backend: str = "host"
+    ) -> "Mesh":
+        """``backend``: "host" (numpy + C++ overlap painter), "device"
+        (the whole per-face pipeline as one TPU program,
+        ``uv_unwrap_device.unwrap_device`` — the host path costs 4-12 s at
+        741K faces on a single core), or "auto" (device when an accelerator
+        backend is active, host on CPU)."""
+        if backend == "auto":
+            import jax
 
-        uv, indices = unwrap(self.v_pos, self.v_nrm, self.t_pos_idx, island_padding)
+            backend = "host" if jax.default_backend() == "cpu" else "device"
+        if backend == "device":
+            from sculptmate_tpu.geometry.uv_unwrap_device import unwrap_device
+
+            # flat per-corner UVs directly — the dedup'd (unique, index)
+            # form is API parity only; this method re-flattens anyway
+            uv_flat_direct, _ = unwrap_device(
+                self.v_pos, self.v_nrm, self.t_pos_idx, island_padding,
+                return_flat=True,
+            )
+            uv, indices = None, None
+        else:
+            from sculptmate_tpu.geometry.uv_unwrap import unwrap
+
+            uv, indices = unwrap(
+                self.v_pos, self.v_nrm, self.t_pos_idx, island_padding
+            )
+            uv_flat_direct = None
 
         # per-face vertex duplication, as in the reference
         individual_vertices = self.v_pos[self.t_pos_idx].reshape(-1, 3)
         individual_faces = np.arange(len(individual_vertices), dtype=np.int64).reshape(
             -1, 3
         )
-        uv_flat = uv[indices].reshape(-1, 2)
+        uv_flat = (
+            uv_flat_direct.reshape(-1, 2)
+            if uv_flat_direct is not None
+            else uv[indices].reshape(-1, 2)
+        )
 
         self.v_pos = individual_vertices
         self.t_pos_idx = individual_faces

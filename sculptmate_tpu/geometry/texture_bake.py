@@ -222,14 +222,14 @@ def _face_tile_pairs(
     return pair_fid, pair_tid, jnp.sum(npairs), total_true, n_multi
 
 
-def _rasterize_binned_core(
-    u0, v0, u1, v1, u2, v2, resolution: int, pair_capacity: int,
-    pair2_capacity: int, multi_capacity: int = 65536,
-):
-    """Two-tier binned scatter-min rasterizer — O(surface), not O(res^2 * F).
+WINNER_SINK = jnp.int32(2**31 - 1)  # empty-texel key (scatter-min identity)
 
-    The brute-force path tests every pixel row chunk against every face chunk
-    in its v-range (~15G barycentric tests at 512^2 x 741K faces). Here:
+
+def binned_winner(
+    u0, v0, u1, v1, u2, v2, key_f, resolution: int, pair_capacity: int,
+    pair2_capacity: int, multi_capacity: int = 65536, margin: float = 0.0,
+):
+    """Two-tier binned scatter-min winner pass — O(surface), not O(res^2*F).
 
     1. Each face gets a texel bbox -> tile bbox. Normal atlas faces (bbox <=
        MAX_TSPAN 8x8-texel tiles) go to the FINE tier; oversized faces (e.g.
@@ -240,14 +240,18 @@ def _rasterize_binned_core(
        totals returned; callers retry on overflow — never silently
        truncated, same invariant as marching_cubes).
     3. Pair chunks run barycentric tests (64 or 4096 texels per pair), then a
-       scatter-min of the face id into the shared per-texel winner buffer
-       (winner = lowest covering face id, the reference rule,
-       ``common.py:144-211``). min is commutative, so tiers compose.
-    4. A cheap per-texel recovery pass recomputes the winner's barycentrics.
+       scatter-min of the face's KEY into the shared per-texel winner buffer.
+       min is commutative, so tiers compose. ``key_f``: (F,) int32 per-face
+       key strictly below WINNER_SINK — face ids for the bake rasterizer
+       (winner = lowest covering id, the reference rule), negated sortable
+       depths for the unwrap visibility pass (winner = deepest face).
 
-    Returns (rast (4, res, res), total_pairs_fine, total_pairs_coarse,
-    n_multi_fine); the output is only valid when the totals fit their
-    capacities AND n_multi_fine <= multi_capacity.
+    ``margin``: barycentric slack (0 = exact coverage; the host unwrap
+    visibility test uses 0.05 like the reference's conservative raster).
+
+    Returns (winner (res*res,) i32 = min key or WINNER_SINK, total_fine,
+    total_coarse, n_multi_fine); valid when the totals fit their capacities
+    AND n_multi_fine <= multi_capacity.
     """
     F = u0.shape[0]
     assert resolution % TILE2 == 0, resolution
@@ -292,10 +296,9 @@ def _rasterize_binned_core(
     )
 
     # -- chunked pair tests + scatter-min winner ----------------------------
-    SINK = jnp.int32(2**30)
+    mg = float(margin)
 
     def make_chunk_body(p_fid, p_tid, tile, chunk, Tt):
-        npx = tile * tile
         oy, ox = jnp.meshgrid(
             jnp.arange(tile, dtype=jnp.int32),
             jnp.arange(tile, dtype=jnp.int32),
@@ -311,6 +314,7 @@ def _rasterize_binned_core(
             fu0, fv0 = u0[fsafe][:, None], v0[fsafe][:, None]
             fu1, fv1 = u1[fsafe][:, None], v1[fsafe][:, None]
             fu2, fv2 = u2[fsafe][:, None], v2[fsafe][:, None]
+            fkey = key_f[fsafe][:, None]
             tx = (tidc % Tt)[:, None]
             ty = (tidc // Tt)[:, None]
             gx = (tx * tile + ox).astype(jnp.float32) / s  # (PC, npx)
@@ -331,18 +335,18 @@ def _rasterize_binned_core(
             bw = (d00 * d21 - d01 * d20) / den_safe
             bu = 1.0 - bv - bw
             inside = (
-                (bu >= 0) & (bv >= 0) & (bw >= 0)
+                (bu >= -mg) & (bv >= -mg) & (bw >= -mg)
                 & (jnp.abs(den) >= 1e-12)
                 & (fid[:, None] < F)
             )
-            key = jnp.where(inside, fid[:, None], SINK)
+            key = jnp.where(inside, fkey, WINNER_SINK)
             texel = (ty * tile + oy) * resolution + (tx * tile + ox)
             texel = jnp.where(inside, texel, resolution * resolution)
             return winner.at[texel.ravel()].min(key.ravel(), mode="drop")
 
         return chunk_body
 
-    winner = jnp.full((resolution * resolution,), SINK, jnp.int32)
+    winner = jnp.full((resolution * resolution,), WINNER_SINK, jnp.int32)
     # trip counts are TRACED (actual pairs, not capacity): capacities are
     # generous, and fori_loop handles dynamic bounds fine
     nc_fine = jnp.minimum(
@@ -362,9 +366,29 @@ def _rasterize_binned_core(
         make_chunk_body(pair2_fid, pair2_tid, TILE2, _PAIR2_CHUNK, T2),
         winner,
     )
+    return winner, total_fine, total_coarse, n_multi
+
+
+def _rasterize_binned_core(
+    u0, v0, u1, v1, u2, v2, resolution: int, pair_capacity: int,
+    pair2_capacity: int, multi_capacity: int = 65536,
+):
+    """Binned rasterizer: ``binned_winner`` with face-id keys (winner =
+    lowest covering face id, the reference rule, ``common.py:144-211``) +
+    a cheap per-texel recovery pass recomputing the winner's barycentrics.
+
+    Returns (rast (4, res, res), total_fine, total_coarse, n_multi) — valid
+    when the totals fit their capacities and n_multi <= multi_capacity.
+    """
+    F = u0.shape[0]
+    s = float(resolution - 1)
+    winner, total_fine, total_coarse, n_multi = binned_winner(
+        u0, v0, u1, v1, u2, v2, jnp.arange(F, dtype=jnp.int32), resolution,
+        pair_capacity, pair2_capacity, multi_capacity,
+    )
 
     # -- recovery: barycentrics of the winning face per texel ---------------
-    hit = winner < SINK
+    hit = winner < WINNER_SINK
     wf = jnp.where(hit, winner, 0)
     fu0, fv0, fu1, fv1, fu2, fv2 = u0[wf], v0[wf], u1[wf], v1[wf], u2[wf], v2[wf]
     xs = (jnp.arange(resolution * resolution, dtype=jnp.int32) % resolution).astype(

@@ -444,7 +444,7 @@ class SF3D:
             with stage("decimate"):
                 mesh = mesh.triangle_remesh(triangle_vertex_count=vertex_count)
         with stage("unwrap"):
-            mesh.unwrap_uv()
+            mesh.unwrap_uv(backend="auto")
 
         out: Dict[str, Any] = {
             "verts": mesh.v_pos,

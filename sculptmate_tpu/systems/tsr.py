@@ -519,35 +519,43 @@ class TSR:
         cached = self._wire_cap_cache.get(resolution)
 
         shape = (resolution, resolution, resolution)
+        if cached is not None:
+            mv, bc = max(max_verts, cached[0]), cached[1]
+        else:
+            mv = max_verts
+            bc = default_block_capacity(resolution, mv)
+
+        def dispatch(code, mv, bc):
+            return self._extract_wire_jit(
+                code, resolution, float(threshold), mv,
+                bool(has_vertex_color), bc,
+            )
+
+        # pipeline: enqueue every asset's device program up front (jax
+        # dispatch is async), so asset i's D2H fetch + native rebuild
+        # overlaps asset i+1's device compute
+        pending = [(dispatch(code, mv, bc), mv) for code in scene_codes]
+
         out = []
-        for scene_code in scene_codes:
-            if cached is not None:
-                mv, bc = max(max_verts, cached[0]), cached[1]
-            else:
-                mv = max_verts
-                bc = default_block_capacity(resolution, mv)
+        for i, scene_code in enumerate(scene_codes):
             while True:
-                wire = np.asarray(
-                    self._extract_wire_jit(
-                        scene_code, resolution, float(threshold), mv,
-                        bool(has_vertex_color), bc,
-                    )
-                )  # ONE device->host transfer for the whole surface
+                fut, mv_used = pending[i]
+                wire = np.asarray(fut)  # ONE D2H for the whole surface
                 nv, nblocks = (
                     int(c) for c in mc_wire.wire_counts(wire, mc_wire.N_WIRE_COUNTS)
                 )
                 # overflow detected, never silently truncated
                 if nblocks > bc:
                     bc = max(bc + 1, int(nblocks * 1.2))
-                    continue
-                if nv <= mv:
+                elif nv > mv_used:
+                    mv = max(mv, 65536 * -(-int(1.2 * nv) // 65536))
+                else:
                     break
-                mv = max(mv, 65536 * -(-int(1.2 * nv) // 65536))
+                pending[i] = (dispatch(scene_code, mv, bc), mv)
             self._wire_cap_cache[resolution] = (mv, bc)
-            cached = self._wire_cap_cache[resolution]
 
             verts, faces, colors, _ = mc_wire.decode_wire(
-                wire, shape, mv, has_colors=bool(has_vertex_color)
+                wire, shape, mv_used, has_colors=bool(has_vertex_color)
             )
             scale = 2 * self.config.radius / (resolution - 1.0)
             verts_world = verts * scale - self.config.radius
