@@ -55,7 +55,7 @@ class Attention(nn.Module):
         k = shard_heads(k.reshape(B, Nk, self.heads, self.dim_head), self.tp_axis)
         v = shard_heads(v.reshape(B, Nk, self.heads, self.dim_head), self.tp_axis)
 
-        out = dot_product_attention(q, k, v)
+        out = dot_product_attention(q, k, v, allow_flash=self.tp_axis is None)
         out = out.reshape(B, Nq, inner)
         out = nn.Dense(inner, use_bias=self.out_bias, dtype=self.dtype, name="to_out")(out)
         return replicate_tokens(out, self.tp_axis)

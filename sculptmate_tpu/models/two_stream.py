@@ -52,7 +52,7 @@ class CrossAttention(nn.Module):
         q = shard_heads(q.reshape(B, Nq, self.num_heads, head_dim), self.tp_axis)
         k = shard_heads(k.reshape(B, Nk, self.num_heads, head_dim), self.tp_axis)
         v = shard_heads(v.reshape(B, Nk, self.num_heads, head_dim), self.tp_axis)
-        out = dot_product_attention(q, k, v).reshape(B, Nq, self.dim)
+        out = dot_product_attention(q, k, v, allow_flash=self.tp_axis is None).reshape(B, Nq, self.dim)
         out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
         return replicate_tokens(out, self.tp_axis)
 
@@ -298,7 +298,7 @@ class TriplaneAttention(nn.Module):
         k = k.reshape(B, N, self.num_heads, head_dim)
         v = v.reshape(B, N, self.num_heads, head_dim)
         if self.full_attention:
-            out = dot_product_attention(q, k, v)
+            out = dot_product_attention(q, k, v, allow_flash=self.tp_axis is None)
         else:
             bias = jnp.asarray(triplane_attention_bias(self.resolution))
             out = jax.nn.dot_product_attention(q, k, v, bias=bias[None, None])
