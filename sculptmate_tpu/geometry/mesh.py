@@ -52,8 +52,28 @@ class Mesh:
     @property
     def v_tng(self) -> np.ndarray:
         if self._v_tng is None:
-            self._v_tng = self._compute_vertex_tangent()
+            if getattr(self, "_dup_face_nrm", None) is not None:
+                self._v_tng = self._per_face_tangents(self._dup_face_nrm)
+            else:
+                self._v_tng = self._compute_vertex_tangent()
         return self._v_tng
+
+    def _per_face_tangents(self, fn: np.ndarray) -> np.ndarray:
+        """Per-face tangents for a per-face-duplicated mesh (each vertex has
+        one incident face; bit-identical to the scatter accumulation)."""
+        tri = self.v_pos.reshape(-1, 3, 3)
+        uvf = self.v_tex.reshape(-1, 3, 2)
+        duv1 = uvf[:, 1] - uvf[:, 0]
+        duv2 = uvf[:, 2] - uvf[:, 0]
+        dpos1 = tri[:, 1] - tri[:, 0]
+        dpos2 = tri[:, 2] - tri[:, 0]
+        tang = (dpos1 * duv2[:, 1:2] - dpos2 * duv1[:, 1:2]) / np.clip(
+            duv1[:, 0:1] * duv2[:, 1:2] - duv1[:, 1:2] * duv2[:, 0:1], 1e-6, None
+        )
+        tang = tang / np.maximum(np.linalg.norm(tang, axis=1, keepdims=True), 1e-12)
+        tang = tang - (tang * fn).sum(-1, keepdims=True) * fn
+        tang = tang / np.maximum(np.linalg.norm(tang, axis=1, keepdims=True), 1e-12)
+        return np.repeat(tang, 3, axis=0).astype(np.float32)
 
     @property
     def v_tex(self) -> np.ndarray:
@@ -253,18 +273,9 @@ class Mesh:
         fn[bad] = (0.0, 0.0, 1.0)
         fn = fn / np.linalg.norm(fn, axis=1, keepdims=True)
         self._v_nrm = np.repeat(fn, 3, axis=0)
-
-        uvf = uv_flat.reshape(-1, 3, 2)
-        duv1 = uvf[:, 1] - uvf[:, 0]
-        duv2 = uvf[:, 2] - uvf[:, 0]
-        dpos1 = tri[:, 1] - tri[:, 0]
-        dpos2 = tri[:, 2] - tri[:, 0]
-        tang = (dpos1 * duv2[:, 1:2] - dpos2 * duv1[:, 1:2]) / np.clip(
-            duv1[:, 0:1] * duv2[:, 1:2] - duv1[:, 1:2] * duv2[:, 0:1], 1e-6, None
-        )
-        tang = tang / np.maximum(np.linalg.norm(tang, axis=1, keepdims=True), 1e-12)
-        tang = tang - (tang * fn).sum(-1, keepdims=True) * fn
-        tang = tang / np.maximum(np.linalg.norm(tang, axis=1, keepdims=True), 1e-12)
-        self._v_tng = np.repeat(tang, 3, axis=0).astype(np.float32)
+        # tangents stay LAZY: the device bake derives its own per-face
+        # tangents and exporters don't consume them
+        self._dup_face_nrm = fn
+        self._v_tng = None
         self._edges = None
         return self

@@ -358,7 +358,9 @@ _unwrap_jit = jax.jit(
 
 
 def _bucket(n: int, lo: int = 4096) -> int:
-    return 1 << max(lo.bit_length() - 1, int(max(n, 2) - 1).bit_length())
+    from sculptmate_tpu.ops import size_bucket
+
+    return size_bucket(n, lo)
 
 
 def unwrap_device(

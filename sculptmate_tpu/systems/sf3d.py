@@ -605,8 +605,10 @@ class SF3D:
         atlas, query materials at interpolated surface positions, compose the
         tangent-space bump map, dilate islands, quantize. One packed H2D
         upload + one jit + one D2H fetch."""
+        from sculptmate_tpu.ops import size_bucket
+
         nv = len(mesh.v_pos)
-        bucket = 1 << max(12, int(max(nv, 2) - 1).bit_length())
+        bucket = size_bucket(nv)
         # u16-quantized pos (over the bbox) + uv; normals/tangents are
         # derived on device (see _bake_jit) — 4.4x fewer upload bytes
         bb_min = mesh.v_pos.min(axis=0) if nv else np.zeros(3, np.float32)
@@ -621,7 +623,7 @@ class SF3D:
         ).astype(np.uint16).T
 
         nf = len(mesh.t_pos_idx)
-        fbucket = 1 << max(12, int(max(nf, 2) - 1).bit_length())
+        fbucket = size_bucket(nf)
         fcomp = np.zeros((3, fbucket), np.int32)
         fcomp[:, :nf] = mesh.t_pos_idx.T
         # pad faces with a degenerate triangle at vertex 0 (never wins raster)
