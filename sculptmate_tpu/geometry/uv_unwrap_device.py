@@ -21,7 +21,6 @@ only through raster resolution and fp (same 13-way index domain).
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

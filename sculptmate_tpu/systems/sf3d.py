@@ -9,9 +9,14 @@ roughness / metallic) — as TPU-first XLA programs:
 
 - one jit for image -> scene codes (+ CLIP material estimator);
 - one fused jit for the tet-lattice density/offset query (separable sampling,
-  ``ops/density_grid.query_grid_multihead``) + device marching tets;
-- device rasterize/interpolate/dilate for the bake (``geometry/texture_bake``);
-- host numpy/C++ only for the sequential parts (decimation, atlas packing).
+  ``ops/density_grid.query_grid_multihead``) + the marching-tets wire format
+  (occupancy bits + u16 deformed positions; faces rebuilt by
+  ``native/mt_wire.cpp``);
+- the whole UV unwrap as one device program (``geometry/uv_unwrap_device``);
+- device rasterize/interpolate/dilate for the bake (``geometry/texture_bake``,
+  two-tier binned scatter-min rasterizer, u16-quantized attrs);
+- host numpy/C++ only for the truly sequential parts (quadric decimation,
+  wire-format mesh rebuilds).
 """
 
 from __future__ import annotations
