@@ -79,11 +79,11 @@ def _lib():
         f32 = ctypes.POINTER(ctypes.c_float)
         lib.mc_wire_count_faces.restype = ctypes.c_longlong
         lib.mc_wire_count_faces.argtypes = [
-            u8, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32
+            u8, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32
         ]
         lib.mc_wire_build.restype = ctypes.c_longlong
         lib.mc_wire_build.argtypes = [
-            u8, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            u8, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             u8, u8, u8, u8, u8,
             ctypes.c_longlong,
             i32, i32, i32, i32,
@@ -104,9 +104,14 @@ def decode_wire(
     max_verts: int,
     n_counts: int = N_WIRE_COUNTS,
     has_colors: bool = True,
+    valid_x_limit: int = -1,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """wire (W,) uint8 -> (verts (nv,3) f32 lattice coords, faces (nf,3) i32,
-    colors (nv,3) f32, counts (n_counts,) u32). Raises on malformed input."""
+    colors (nv,3) f32, counts (n_counts,) u32). Raises on malformed input.
+
+    ``valid_x_limit``: cells/x-cuts valid at x < limit (default RX-1) — must
+    match the ``valid_x`` mask the device packer ran with (the SP sharded
+    path passes its slab width)."""
     wire = np.ascontiguousarray(wire, np.uint8)
     o_occ, o_tlo, o_thi, o_r, o_g, o_b, o_counts, total = wire_layout(
         shape, max_verts, n_counts, has_colors
@@ -118,6 +123,8 @@ def decode_wire(
     if nv > max_verts:
         raise OverflowError(f"num_verts {nv} > capacity {max_verts}")
     RX, RY, RZ = shape
+    if valid_x_limit < 0:
+        valid_x_limit = RX - 1
     occ = wire[o_occ:o_tlo]
     t_lo = wire[o_tlo:o_thi]
     t_hi = wire[o_thi:o_r]
@@ -141,7 +148,7 @@ def decode_wire(
     if lib is not None:
         nf = int(
             lib.mc_wire_count_faces(
-                _ptr(occ, ctypes.c_uint8), RX, RY, RZ,
+                _ptr(occ, ctypes.c_uint8), RX, RY, RZ, valid_x_limit,
                 _ptr(tri_count, ctypes.c_int32),
             )
         )
@@ -152,7 +159,7 @@ def decode_wire(
         faces = np.empty((max(nf, 1), 3), np.int32)
         wrote = int(
             lib.mc_wire_build(
-                _ptr(occ, ctypes.c_uint8), RX, RY, RZ,
+                _ptr(occ, ctypes.c_uint8), RX, RY, RZ, valid_x_limit,
                 _ptr(t_lo, ctypes.c_uint8), _ptr(t_hi, ctypes.c_uint8),
                 _ptr(cr, ctypes.c_uint8), _ptr(cg, ctypes.c_uint8),
                 _ptr(cb, ctypes.c_uint8),
@@ -175,18 +182,21 @@ def decode_wire(
         stacklevel=2,
     )
     return _decode_numpy(
-        occ, t_lo, t_hi, cr, cg, cb, shape, nv, counts
+        occ, t_lo, t_hi, cr, cg, cb, shape, nv, counts, valid_x_limit
     )
 
 
-def _decode_numpy(occ, t_lo, t_hi, cr, cg, cb, shape, nv, counts):
+def _decode_numpy(occ, t_lo, t_hi, cr, cg, cb, shape, nv, counts, vxlim=-1):
     """Vectorized numpy fallback (same conventions as the C++)."""
     RX, RY, RZ = shape
+    if vxlim < 0:
+        vxlim = RX - 1
     inside = np.unpackbits(occ, bitorder="little").astype(bool).reshape(RX, RY, RZ)
 
     masks = []
     mx = np.zeros((RX, RY, RZ), bool)
     mx[: RX - 1] = inside[:-1] != inside[1:]
+    mx[vxlim:] = False
     masks.append(mx)
     my = np.zeros((RX, RY, RZ), bool)
     my[:, : RY - 1] = inside[:, :-1] != inside[:, 1:]
@@ -227,7 +237,7 @@ def _decode_numpy(occ, t_lo, t_hi, cr, cg, cb, shape, nv, counts):
         ox, oy, oz = c & 1, (c >> 1) & 1, (c >> 2) & 1
         case += pad[ox : ox + RX, oy : oy + RY, oz : oz + RZ] << c
     cell_valid = np.zeros((RX, RY, RZ), bool)
-    cell_valid[: RX - 1, : RY - 1, : RZ - 1] = True
+    cell_valid[:vxlim, : RY - 1, : RZ - 1] = True
     ntri = np.where(cell_valid, tri_count[case], 0)
     ci, cj, ck = np.nonzero(ntri)
     cs = case[ci, cj, ck]

@@ -30,6 +30,7 @@ namespace {
 
 struct Grid {
     int RX, RY, RZ;
+    int vxlim;                    // x-cut edges / cells valid at i < vxlim
     int nw;                       // 64-bit words per z-row (ceil(RZ/64))
     std::vector<uint64_t> occ;    // (RX*RY*nw) occupancy
     std::vector<uint64_t> cut[3]; // per-axis cut-edge words
@@ -75,7 +76,7 @@ static void build_cuts(Grid &g) {
             for (int z = 0; z < nw; ++z) {
                 uint64_t self = row[z];
                 uint64_t km = zmask(z, RZ); // k < RZ (row payload)
-                if (i + 1 < RX) // x-cuts valid at i < RX-1
+                if (i < g.vxlim) // x-cuts valid at i < valid_x_limit
                     g.cut[0][g.w(i, j, z)] =
                         (self ^ g.occ[g.w(i + 1, j, z)]) & km;
                 if (j + 1 < RY)
@@ -109,12 +110,18 @@ static inline uint32_t vid_of(const Grid &g, int axis, int i, int j, int k) {
 
 extern "C" {
 
-// Count reconstructed faces. Returns -1 on bad arguments.
+// Count reconstructed faces. ``valid_x_limit``: cells (and x-cut edges)
+// only at x < valid_x_limit — pass RX-1 for a full grid, or the shard's
+// slab width for grid-axis-sharded (SP) extraction (mirrors the device's
+// ``valid_x`` mask). Returns -1 on bad arguments.
 long long mc_wire_count_faces(const uint8_t *occ_bytes, int RX, int RY,
-                              int RZ, const int32_t *tri_count /*(256,)*/) {
+                              int RZ, int valid_x_limit,
+                              const int32_t *tri_count /*(256,)*/) {
     if (RZ % 8 != 0 || RX < 2 || RY < 2 || RZ < 2) return -1;
+    if (valid_x_limit < 0 || valid_x_limit > RX - 1) return -1;
     Grid g;
     g.RX = RX; g.RY = RY; g.RZ = RZ; g.nw = (RZ + 63) / 64;
+    g.vxlim = valid_x_limit;
     load_occ(g, occ_bytes);
 
     long long nf = 0;
@@ -125,7 +132,7 @@ long long mc_wire_count_faces(const uint8_t *occ_bytes, int RX, int RY,
         if (rem >= 64) return ~0ull;
         return (~0ull) >> (64 - rem);
     };
-    for (int i = 0; i < RX - 1; ++i)
+    for (int i = 0; i < valid_x_limit; ++i)
         for (int j = 0; j < RY - 1; ++j) {
             const uint64_t *r00 = &g.occ[g.w(i, j, 0)];
             const uint64_t *r10 = &g.occ[g.w(i + 1, j, 0)];
@@ -157,7 +164,7 @@ long long mc_wire_count_faces(const uint8_t *occ_bytes, int RX, int RY,
 // (nv*3 f32 in [0,1]), out_faces (max_out_faces*3 i32). Returns the number
 // of faces written, or -1 on bad arguments / -2 on vertex-count mismatch.
 long long mc_wire_build(
-    const uint8_t *occ_bytes, int RX, int RY, int RZ,
+    const uint8_t *occ_bytes, int RX, int RY, int RZ, int valid_x_limit,
     const uint8_t *t_lo, const uint8_t *t_hi,
     const uint8_t *cr, const uint8_t *cg, const uint8_t *cb,
     long long nv,
@@ -166,8 +173,10 @@ long long mc_wire_build(
     int max_tri, long long max_out_faces,
     float *out_verts, float *out_colors, int32_t *out_faces) {
     if (RZ % 8 != 0 || RX < 2 || RY < 2 || RZ < 2) return -1;
+    if (valid_x_limit < 0 || valid_x_limit > RX - 1) return -1;
     Grid g;
     g.RX = RX; g.RY = RY; g.RZ = RZ; g.nw = (RZ + 63) / 64;
+    g.vxlim = valid_x_limit;
     load_occ(g, occ_bytes);
     build_cuts(g);
     if ((long long)build_prefix(g) != nv) return -2;
@@ -209,7 +218,7 @@ long long mc_wire_build(
         if (rem >= 64) return ~0ull;
         return (~0ull) >> (64 - rem);
     };
-    for (int i = 0; i < RX - 1; ++i)
+    for (int i = 0; i < valid_x_limit; ++i)
         for (int j = 0; j < RY - 1; ++j) {
             const uint64_t *r00 = &g.occ[g.w(i, j, 0)];
             const uint64_t *r10 = &g.occ[g.w(i + 1, j, 0)];

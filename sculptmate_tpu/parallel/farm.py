@@ -297,3 +297,95 @@ def sharded_extract(
     used[faces.ravel()] = True
     remap = np.cumsum(used) - 1
     return uverts[used], remap[faces]
+
+
+def sharded_extract_wire(
+    mesh: Mesh,
+    triplane: jnp.ndarray,
+    weights,
+    spec: DensityGridSpec,
+    threshold: float,
+    sp_axis: str = "sp",
+    max_verts_per_shard: int = 0,
+):
+    """``sharded_extract`` over the WIRE format: each shard ships occupancy
+    bits + u16 t (~6x fewer ICI/D2H bytes than the packed f32 mesh) and the
+    host rebuilds each shard's faces natively with its slab's ``valid_x``
+    limit, then welds the exact-duplicate seams.
+
+    Seam exactness survives the wire: the halo plane is recomputed
+    bit-identically by the neighbor's SPMD program, so its cut pattern and
+    uint16 t values — hence the reconstructed f32 positions — are equal bits.
+    """
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+
+    from sculptmate_tpu.geometry import mc_wire
+    from sculptmate_tpu.geometry.marching_cubes import (
+        BS,
+        default_block_capacity,
+        mc_wire_device,
+    )
+
+    R = spec.resolution
+    n_sp = mesh.shape[sp_axis]
+    assert R % n_sp == 0, (R, n_sp)
+    slab = R // n_sp
+    if max_verts_per_shard <= 0:
+        max_verts_per_shard = 16 * R * R // n_sp + 65536
+    mv = max_verts_per_shard
+
+    RX = slab + 1
+    xpad = (-RX) % BS
+    RXp = RX + xpad
+    bc = default_block_capacity(max(RXp, R), mv)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(),),
+        out_specs=P(sp_axis),
+        check_rep=False,
+    )
+    def run(tri):
+        idx = jax.lax.axis_index(sp_axis)
+        is_last = idx == n_sp - 1
+        rows = jnp.minimum(idx * slab + jnp.arange(slab + 1), R - 1)
+        cx = 2.0 * rows.astype(jnp.float32) / (R - 1) - 1.0
+        blk = query_density_grid(tri, weights, spec, x_coords=cx) - threshold
+        if xpad:
+            blk = jnp.pad(blk, ((0, xpad), (0, 0), (0, 0)), constant_values=-1.0)
+        valid_x = jnp.arange(RXp) < jnp.where(is_last, slab - 1, slab)
+        wire = mc_wire_device(blk, mv, bc, valid_x=valid_x)
+        return wire[None]  # (1, W) -> stacked (n_sp, W)
+
+    tri = jax.device_put(triplane, NamedSharding(mesh, P()))
+    packed = np.asarray(jax.jit(run)(tri))  # ONE fetch: (n_sp, W)
+
+    all_verts, all_faces, base = [], [], 0
+    for s in range(n_sp):
+        wire = packed[s]
+        nv, nblk = (int(c) for c in mc_wire.wire_counts(wire, 2))
+        if nblk > bc or nv > mv:
+            raise RuntimeError(
+                f"sharded_extract_wire capacity overflow on shard {s}: "
+                f"nv={nv}/{mv} blocks={nblk}/{bc}"
+            )
+        limit = slab - 1 if s == n_sp - 1 else slab
+        verts, faces, _, _ = mc_wire.decode_wire(
+            wire, (RXp, R, R), mv, has_colors=False, valid_x_limit=limit
+        )
+        verts[:, 0] += s * slab
+        all_verts.append(verts)
+        all_faces.append(faces.astype(np.int64) + base)
+        base += nv
+    verts = np.concatenate(all_verts) if all_verts else np.zeros((0, 3), np.float32)
+    faces = np.concatenate(all_faces) if all_faces else np.zeros((0, 3), np.int64)
+
+    uverts, inv = np.unique(verts, axis=0, return_inverse=True)
+    faces = inv[faces]
+    used = np.zeros(len(uverts), bool)
+    used[faces.ravel()] = True
+    remap = np.cumsum(used) - 1
+    return uverts[used], remap[faces]

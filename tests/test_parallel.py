@@ -164,3 +164,46 @@ def test_sharded_extract_matches_single_device(tiny_tsr, rng):
     d = np.abs(sv_o - pv_o).max(axis=1)
     assert (d <= 1.0).all()  # same edge
     assert np.quantile(d, 0.99) < 1e-2, np.quantile(d, 0.99)
+
+
+def test_sharded_extract_wire_matches_sharded_extract(tiny_tsr, rng):
+    """The wire-format SP extraction must reproduce the packed SP extraction
+    (same per-shard valid_x semantics, same exact seam welds) up to uint16
+    t quantization of vertex positions."""
+    from sculptmate_tpu.ops.density_grid import (
+        mlp_weights_from_params,
+        query_density_grid,
+    )
+    from sculptmate_tpu.parallel.farm import sharded_extract, sharded_extract_wire
+
+    mesh = make_mesh((8,), ("sp",))
+    R = 64
+    code = tiny_tsr.scene_codes(jnp.asarray(rng.random((1, 32, 32, 3)), jnp.float32))[0]
+    weights = mlp_weights_from_params(tiny_tsr.params["decoder"]["layers"])
+    spec = tiny_tsr.grid_spec(R)
+
+    dens = np.asarray(query_density_grid(code, weights, spec))
+    thr = float(np.quantile(dens, 0.99))
+
+    pv, pf = sharded_extract(mesh, code, weights, spec, threshold=thr)
+    wv, wf = sharded_extract_wire(mesh, code, weights, spec, threshold=thr)
+    assert len(wv) > 100
+
+    assert len(wv) == len(pv)
+    assert len(wf) == len(pf)
+
+    # same welded topology and near-identical positions (u16 t quantization)
+    def canon(verts, faces):
+        order = np.lexsort((verts[:, 2], verts[:, 1], verts[:, 0]))
+        remap = np.empty(len(verts), np.int64)
+        remap[order] = np.arange(len(verts))
+        f = remap[faces]
+        k = np.argmin(f, axis=1)
+        rows = np.arange(len(f))[:, None]
+        rot = np.stack([f[rows[:, 0], (k + s) % 3] for s in range(3)], axis=1)
+        return verts[order], rot[np.lexsort((rot[:, 2], rot[:, 1], rot[:, 0]))]
+
+    pvc, pfc = canon(pv, pf)
+    wvc, wfc = canon(wv, wf)
+    assert np.max(np.abs(pvc - wvc)) < 2e-4
+    assert np.array_equal(pfc, wfc)
