@@ -27,9 +27,9 @@ Deformation follows ``normalize_grid_deformation``
 Everything is flat (N,) structure-of-arrays — see marching_cubes.py for why
 (N, 3) arrays are catastrophic under TPU tiled layouts.
 
-Outputs are fixed-capacity with exact counts; ``num_active_blocks`` /
-``num_active_cubes`` let callers detect capacity overflow and retry (never
-silently truncate).
+Outputs are fixed-capacity with exact counts; ``num_active_vblocks`` /
+``num_active_fblocks`` / ``num_active_cubes`` let callers detect capacity
+overflow per block set and retry (never silently truncate).
 """
 
 from __future__ import annotations
@@ -53,7 +53,11 @@ class MTResult(NamedTuple):
     fc: jnp.ndarray
     num_verts: jnp.ndarray
     num_faces: jnp.ndarray
-    num_active_blocks: jnp.ndarray  # () int32, max over vert/face block sets
+    # the two block sets have DIFFERENT capacities (vert blocks span a
+    # 7-class domain); collapsing them into one max hid cube-block-only
+    # overflows behind the larger vertex capacity (silent face corruption)
+    num_active_vblocks: jnp.ndarray  # () int32, active vertex blocks
+    num_active_fblocks: jnp.ndarray  # () int32, active cube (face) blocks
     num_active_cubes: jnp.ndarray  # () int32, cubes emitting >= 1 triangle
 
 
@@ -470,9 +474,9 @@ def marching_tets(
 
     fa, fb, fc = face_corner(0), face_corner(1), face_corner(2)
 
-    n_blocks = jnp.maximum(n_vblocks, n_fblocks)
     return MTResult(
-        vx, vy, vz, fa, fb, fc, num_verts, num_faces, n_blocks, num_active_cubes
+        vx, vy, vz, fa, fb, fc, num_verts, num_faces, n_vblocks, n_fblocks,
+        num_active_cubes,
     )
 
 
@@ -510,10 +514,11 @@ def marching_tets_host(
             vb_cap, cb_cap, cube_cap,
         )
         nv, nf = int(res.num_verts), int(res.num_faces)
-        nblk, ncube = int(res.num_active_blocks), int(res.num_active_cubes)
-        if nblk > max(vb_cap, cb_cap):
-            vb_cap = max(vb_cap, 2 * nblk)
-            cb_cap = max(cb_cap, 2 * nblk)
+        nvb, nfb = int(res.num_active_vblocks), int(res.num_active_fblocks)
+        ncube = int(res.num_active_cubes)
+        if nvb > vb_cap or nfb > cb_cap:
+            vb_cap = max(vb_cap, 2 * nvb)
+            cb_cap = max(cb_cap, 2 * nfb)
             continue
         if ncube > cube_cap:
             cube_cap = 2 * max(cube_cap, ncube)

@@ -386,6 +386,8 @@ def unwrap(
     # 1D unique over a packed uint64 key: int sort is ~4x faster than the
     # complex64 lexicographic compare (and np.unique(axis=0) is worse still).
     # +0.0 normalizes any -0.0 so the bit pack can't split equal UVs.
+    if len(uv_flat) == 0:
+        return np.zeros((0, 2), np.float32), np.zeros((0, 3), np.int64)
     bits = (
         np.ascontiguousarray(uv_flat + 0.0, np.float32).view(np.uint32).astype(np.uint64)
     )

@@ -426,6 +426,8 @@ def unwrap_device(
     uv16 = np.asarray(uv_q)[:F]  # (F, 3, 2) uint16, ONE compact download
     if return_flat:
         return uv16.astype(np.float32) / 65535.0, None
+    if F == 0:
+        return np.zeros((0, 2), np.float32), np.zeros((0, 3), np.int64)
     flat = uv16.reshape(-1, 2).astype(np.uint32)
     packed = (flat[:, 0] << np.uint32(16)) | flat[:, 1]
     order = np.argsort(packed, kind="stable")

@@ -285,6 +285,7 @@ class TriplaneAttention(nn.Module):
     qkv_bias: bool = False
     full_attention: bool = False
     dtype: jnp.dtype = jnp.float32
+    tp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):

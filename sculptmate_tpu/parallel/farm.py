@@ -276,10 +276,15 @@ def sharded_extract(
     for s in range(n_sp):
         row = packed[s]
         nv, nf, nblk, ncell = (int(round(x)) for x in row[0, -4:])
-        if nblk > default_block_capacity(max(RXp, R), mv) or nv > mv or nf > mf:
+        if (
+            nblk > default_block_capacity(max(RXp, R), mv)
+            or nv > mv
+            or nf > mf
+            or ncell > mf // 2  # cell-compaction capacity (marching_cubes)
+        ):
             raise RuntimeError(
                 f"sharded_extract capacity overflow on shard {s}: "
-                f"nv={nv}/{mv} nf={nf}/{mf} blocks={nblk}"
+                f"nv={nv}/{mv} nf={nf}/{mf} blocks={nblk} cells={ncell}/{mf // 2}"
             )
         verts = row[:, :mv].T[:nv]
         faces = np.rint(row[:, mv : mv + mf]).T[:nf].astype(np.int64) + base

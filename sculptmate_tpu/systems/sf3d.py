@@ -336,9 +336,15 @@ class SF3D:
         assert max_verts < (1 << 24), "face ids would lose f32 precision"
         faces_f = jnp.stack([mt.fa, mt.fb, mt.fc]).astype(jnp.float32)
         counts = jnp.stack(
-            [mt.num_verts, mt.num_faces, mt.num_active_blocks, mt.num_active_cubes]
+            [
+                mt.num_verts,
+                mt.num_faces,
+                mt.num_active_vblocks,
+                mt.num_active_fblocks,
+                mt.num_active_cubes,
+            ]
         ).astype(jnp.float32)
-        counts_col = jnp.broadcast_to(counts[None, :], (3, 4))
+        counts_col = jnp.broadcast_to(counts[None, :], (3, 5))
         return jnp.concatenate([verts, faces_f, counts_col], axis=1)
 
     # ------------------------------------------------------------------
@@ -677,7 +683,10 @@ class SF3D:
                 pair2_cap = -(-2 * max(pair2_cap, coarse) // pc2) * pc2
             if nmulti > mcap:
                 # grow the fine capacity so the derived multi list covers it
-                pair_cap = max(pair_cap, 64 * 2 * nmulti)
+                # (chunk-rounded: the pair loop runs capacity // _PAIR_CHUNK
+                # chunks, so a ragged capacity would skip tail pairs)
+                pc = texture_bake._PAIR_CHUNK
+                pair_cap = max(pair_cap, -(-64 * 2 * nmulti // pc) * pc)
         albedo_np = np.transpose(packed[0:3], (1, 2, 0))
         bump_np = np.transpose(packed[3:6], (1, 2, 0))
         roughness = float(packed[6, 0, 0])

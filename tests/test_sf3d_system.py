@@ -105,3 +105,19 @@ def test_vertex_budget(tiny_sf3d, rng):
         vertex_simplification_factor="low", threshold=thr,
     )
     assert len(lo["verts"]) < len(hi["verts"])
+
+
+def test_triplane_attention_full_attention_branch(rng):
+    """The full_attention=True branch was unexercised and once crashed on a
+    missing module field; keep a smoke forward over it."""
+    import jax
+    import jax.numpy as jnp
+
+    from sculptmate_tpu.models.two_stream import TriplaneAttention
+
+    m = TriplaneAttention(dim=32, resolution=4, num_heads=4, full_attention=True)
+    x = jnp.asarray(rng.standard_normal((1, 3 * 16, 32)), jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(params, x)
+    assert out.shape == x.shape
+    assert bool(jnp.isfinite(out).all())
