@@ -3,8 +3,13 @@
 The reference ships these as ONNX blobs (``rembg/sessions/dis_anime.py``,
 1024^2 input, std=(1,1,1)); this is a flax implementation of the ISNet-DIS
 architecture (Qin et al., Highly Accurate Dichotomous Image Segmentation):
-a stride-2 input conv followed by a U^2-Net-style RSU encoder/decoder with
-side outputs upsampled to the input resolution.
+a stride-2 input conv (the DIS repo's ``myrebnconv`` stem; its pool is
+disabled in the original forward) followed by a U^2-Net-style RSU
+encoder/decoder with side outputs upsampled to the input resolution.
+
+Checkpoint conversion: ``runtime/checkpoint.py:convert_isnet_state_dict``
+maps the ISNetDIS torch/onnx layout (``conv_in.conv/.bn``,
+``stageN[d].rebnconvX[d].conv_s1/bn_s1``, ``sideN``) onto this tree.
 """
 
 from __future__ import annotations
@@ -30,8 +35,7 @@ class ISNet(nn.Module):
     def __call__(self, x) -> Tuple[jnp.ndarray, Sequence[jnp.ndarray]]:
         """x: (B, H, W, 3) normalized. Returns (d1, [d1..d6]) logits at
         full input resolution."""
-        hin = REBNCONV(64, dtype=self.dtype, name="conv_in")(x)
-        hin = _maxpool2(hin)  # stride-2 stem
+        hin = REBNCONV(64, stride=2, dtype=self.dtype, name="conv_in")(x)
 
         hx1 = RSU(7, 32, 64, dtype=self.dtype, name="stage1")(hin)
         hx = _maxpool2(hx1)

@@ -33,8 +33,13 @@ class JaxSessionBase:
     mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
     std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
 
-    def __init__(self, params=None, seed: int = 0):
+    def __init__(self, params=None, seed: int = 0, weights_name: Optional[str] = None):
+        self.weights_name = weights_name
         self.module = self.build_module()
+        if params is None and weights_name:
+            from sculptmate_tpu.runtime.checkpoint import try_load_session_params
+
+            params = try_load_session_params(weights_name)
         if params is None:
             dummy = jnp.zeros((1, *self.input_size, 3), jnp.float32)
             params = self.module.init(jax.random.PRNGKey(seed), dummy)
@@ -172,4 +177,4 @@ def new_session(model_name: str = "u2net"):
             f"unknown session '{model_name}'; available: "
             + ", ".join(sorted(_REGISTRY) + ["sam"])
         )
-    return _REGISTRY[model_name]()
+    return _REGISTRY[model_name](weights_name=model_name)

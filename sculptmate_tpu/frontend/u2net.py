@@ -28,6 +28,7 @@ import jax.numpy as jnp
 class REBNCONV(nn.Module):
     out_ch: int
     dilation: int = 1
+    stride: int = 1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -35,6 +36,7 @@ class REBNCONV(nn.Module):
         x = nn.Conv(
             self.out_ch,
             (3, 3),
+            strides=self.stride,
             padding=self.dilation,
             kernel_dilation=self.dilation,
             dtype=self.dtype,

@@ -26,6 +26,31 @@ from sculptmate_tpu.geometry.native import load_native
 N_WIRE_COUNTS = 2  # num_verts, n_vblocks (callers may append extras)
 
 
+class WireCorruptError(ValueError):
+    """The wire buffer is internally inconsistent (counts vs occupancy)."""
+
+
+class WireCapacityError(OverflowError):
+    """A fixed-capacity output buffer inside the native decoder overflowed."""
+
+
+def _native_error(fn: str, code: int) -> Exception:
+    """Map the native decoders' negative return codes to typed exceptions.
+
+    -1 bad arguments, -2 occupancy/vertex-count mismatch (corrupt wire),
+    -3 face-buffer overflow (internal capacity error)."""
+    if code == -1:
+        return ValueError(f"{fn}: bad arguments (shape/limit out of range)")
+    if code == -2:
+        return WireCorruptError(
+            f"{fn}: occupancy-derived vertex count disagrees with the wire "
+            "counter (corrupt wire buffer)"
+        )
+    if code == -3:
+        return WireCapacityError(f"{fn}: output face buffer overflowed")
+    return ValueError(f"{fn}: unknown native error code {code}")
+
+
 def wire_layout(
     shape: Tuple[int, int, int], max_verts: int, n_counts: int,
     has_colors: bool = True,
@@ -153,7 +178,7 @@ def decode_wire(
             )
         )
         if nf < 0:
-            raise ValueError(f"mc_wire_count_faces failed ({nf})")
+            raise _native_error("mc_wire_count_faces", nf)
         verts = np.empty((nv, 3), np.float32)
         colors = np.empty((nv, 3), np.float32)
         faces = np.empty((max(nf, 1), 3), np.int32)
@@ -171,8 +196,12 @@ def decode_wire(
                 _ptr(faces, ctypes.c_int32),
             )
         )
+        if wrote < 0:
+            raise _native_error("mc_wire_build", wrote)
         if wrote != nf:
-            raise ValueError(f"mc_wire_build wrote {wrote}, expected {nf}")
+            raise WireCorruptError(
+                f"mc_wire_build wrote {wrote} faces, expected {nf}"
+            )
         return verts, faces[:nf], colors, counts
 
     warnings.warn(

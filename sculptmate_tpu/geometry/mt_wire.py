@@ -19,6 +19,10 @@ from typing import Tuple
 import numpy as np
 
 from sculptmate_tpu.geometry.marching_tets import lattice_size
+from sculptmate_tpu.geometry.mc_wire import (
+    WireCorruptError,
+    _native_error,
+)
 from sculptmate_tpu.geometry.mt_tables import build_tet_tables
 from sculptmate_tpu.geometry.native import load_native
 
@@ -137,7 +141,7 @@ def decode_wire(
         )
     )
     if nf < 0:
-        raise ValueError(f"mt_wire_count_faces failed ({nf})")
+        raise _native_error("mt_wire_count_faces", nf)
     verts = np.empty((nv, 3), np.float32)
     faces = np.empty((max(nf, 1), 3), np.int32)
     wrote = int(
@@ -151,6 +155,10 @@ def decode_wire(
             _ptr(verts, ctypes.c_float), _ptr(faces, ctypes.c_int32),
         )
     )
+    if wrote < 0:
+        raise _native_error("mt_wire_build", wrote)
     if wrote != nf:
-        raise ValueError(f"mt_wire_build wrote {wrote}, expected {nf}")
+        raise WireCorruptError(
+            f"mt_wire_build wrote {wrote} faces, expected {nf}"
+        )
     return verts, faces[:nf], counts

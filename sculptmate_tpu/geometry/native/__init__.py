@@ -20,21 +20,57 @@ _LOCK = threading.Lock()
 _LIBS = {}
 
 
+def _cache_dir() -> str:
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    path = os.path.join(base, "sculptmate_tpu", "native")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def _build(src: str, out: str) -> None:
+    subprocess.run(
+        ["g++", "-O3", "-shared", "-fPIC", "-pthread", src, "-o", out],
+        check=True,
+        capture_output=True,
+    )
+
+
 def load_native(name: str) -> Optional[ctypes.CDLL]:
-    """Compile (once) and load lib<name>.so from <name>.cpp; None on failure."""
+    """Compile (once) and load lib<name>.so from <name>.cpp; None on failure.
+
+    Load order: (1) the shipped/prebuilt .so next to the source (rebuilt in
+    place when stale and the directory is writable), (2) on ANY dlopen or
+    build failure — e.g. a prebuilt ELF for the wrong platform, or a
+    read-only site-packages — rebuild from source into a per-user cache dir
+    and load that. Only when both fail is None cached.
+    """
     with _LOCK:
         if name in _LIBS:
             return _LIBS[name]
         src = os.path.join(_DIR, f"{name}.cpp")
         lib = os.path.join(_DIR, f"lib{name}.so")
+        handle = None
         try:
-            if not os.path.isfile(lib) or os.path.getmtime(lib) < os.path.getmtime(src):
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", src, "-o", lib],
-                    check=True,
-                    capture_output=True,
-                )
-            _LIBS[name] = ctypes.CDLL(lib)
+            if os.path.isfile(src) and (
+                not os.path.isfile(lib)
+                or os.path.getmtime(lib) < os.path.getmtime(src)
+            ):
+                _build(src, lib)
+            handle = ctypes.CDLL(lib)
         except Exception:
-            _LIBS[name] = None
+            # Shipped binary unusable on this platform (or dir unwritable):
+            # rebuild from source into a user-writable cache and retry once.
+            try:
+                cached = os.path.join(_cache_dir(), f"lib{name}.so")
+                if os.path.isfile(src) and (
+                    not os.path.isfile(cached)
+                    or os.path.getmtime(cached) < os.path.getmtime(src)
+                ):
+                    _build(src, cached)
+                handle = ctypes.CDLL(cached)
+            except Exception:
+                handle = None
+        _LIBS[name] = handle
         return _LIBS[name]

@@ -264,13 +264,31 @@ def binned_winner(
     umax = jnp.maximum(jnp.maximum(u0, u1), u2) * s
     vmin = jnp.minimum(jnp.minimum(v0, v1), v2) * s
     vmax = jnp.maximum(jnp.maximum(v0, v1), v2) * s
-    xlo = jnp.clip(jnp.ceil(umin - 1e-3).astype(jnp.int32), 0, resolution - 1)
-    xhi = jnp.clip(jnp.floor(umax + 1e-3).astype(jnp.int32), -1, resolution - 1)
-    ylo = jnp.clip(jnp.ceil(vmin - 1e-3).astype(jnp.int32), 0, resolution - 1)
-    yhi = jnp.clip(jnp.floor(vmax + 1e-3).astype(jnp.int32), -1, resolution - 1)
-
     e1u, e1v = u1 - u0, v1 - v0
     e2u, e2v = u2 - u0, v2 - v0
+
+    # barycentric slack `margin` admits texels OUTSIDE the exact triangle
+    # (w in [-margin, 1+margin]); widen the bbox by the margin-induced
+    # texel-space extent so those texels are actually enumerated, matching
+    # the per-texel test below (0 when margin == 0)
+    if float(margin) > 0.0:
+        slack = float(margin) * s * (
+            jnp.sqrt(e1u * e1u + e1v * e1v) + jnp.sqrt(e2u * e2u + e2v * e2v)
+        )
+    else:
+        slack = 0.0
+    xlo = jnp.clip(
+        jnp.ceil(umin - slack - 1e-3).astype(jnp.int32), 0, resolution - 1
+    )
+    xhi = jnp.clip(
+        jnp.floor(umax + slack + 1e-3).astype(jnp.int32), -1, resolution - 1
+    )
+    ylo = jnp.clip(
+        jnp.ceil(vmin - slack - 1e-3).astype(jnp.int32), 0, resolution - 1
+    )
+    yhi = jnp.clip(
+        jnp.floor(vmax + slack + 1e-3).astype(jnp.int32), -1, resolution - 1
+    )
     denom = (e1u * e1u + e1v * e1v) * (e2u * e2u + e2v * e2v) - (
         e1u * e2u + e1v * e2v
     ) ** 2

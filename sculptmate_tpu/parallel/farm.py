@@ -20,11 +20,17 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from sculptmate_tpu.geometry.marching_cubes import marching_cubes, MCResult
+from sculptmate_tpu.geometry.marching_cubes import (
+    default_block_capacity,
+    marching_cubes,
+    mc_wire_device,
+    MCResult,
+)
 from sculptmate_tpu.ops.density_grid import (
     DensityGridSpec,
     mlp_weights_from_params,
     query_density_grid,
+    query_triplane_points,
 )
 
 
@@ -92,6 +98,49 @@ class AssetFarm:
 
         self._extract = _extract
 
+        @functools.partial(
+            jax.jit,
+            static_argnums=(2, 3, 4, 5, 6),
+            in_shardings=(
+                NamedSharding(mesh, P()),
+                NamedSharding(mesh, P(dp_axis)),
+            ),
+            out_shardings=NamedSharding(mesh, P(dp_axis)),
+        )
+        def _extract_wire(
+            params, codes, resolution, threshold, max_verts, block_capacity,
+            want_colors,
+        ):
+            weights = mlp_weights_from_params(params["decoder"]["layers"])
+            spec = tsr.grid_spec(resolution)
+            radius = tsr.config.radius
+            scale = 2 * radius / (resolution - 1.0)
+
+            def one(code):
+                dens = query_density_grid(code, weights, spec)
+                color_fn = None
+                if want_colors:
+
+                    def color_fn(vx, vy, vz, valid):
+                        colors = query_triplane_points(
+                            code,
+                            weights,
+                            vx * scale - radius,
+                            vy * scale - radius,
+                            vz * scale - radius,
+                            spec,
+                        )["color"]
+                        return colors[0], colors[1], colors[2]
+
+                return mc_wire_device(
+                    dens - threshold, max_verts, block_capacity, None, color_fn
+                )
+
+            return jax.vmap(one)(codes)
+
+        self._extract_wire = _extract_wire
+        self._wire_caps = {}
+
     def generate_batch(
         self,
         images: jnp.ndarray,
@@ -99,17 +148,97 @@ class AssetFarm:
         threshold: float = 25.0,
         max_verts: int = 0,
         max_faces: int = 0,
+        mode: str = "wire",
+        has_vertex_color: bool = False,
     ):
-        """images: (B, S, S, 3), B divisible by the dp axis size."""
+        """images: (B, S, S, 3), B divisible by the dp axis size.
+
+        ``mode="wire"`` (default, the fast path): each asset's extraction
+        ships the compact occupancy-bits wire buffer — one (B, W) uint8
+        dp-sharded fetch for the WHOLE batch — and faces are rebuilt natively
+        on the host per asset; returns a list of (verts, faces, colors|None)
+        numpy triples in world coords, like ``TSR.extract_mesh``. Capacity
+        overflow is detected from the wire counters and retried, never
+        silently truncated.
+
+        ``mode="packed"`` keeps the original vmapped ``MCResult`` of padded
+        f32 device buffers (exact f32 positions, no colors; ~6x more D2H
+        bytes at 256^3).
+        """
+        images = jax.device_put(images, NamedSharding(self.mesh, P(self.dp_axis)))
+        codes = self._encode(self.params, images)
+        if mode == "wire":
+            return self.extract_batch_wire(
+                codes, resolution, threshold, max_verts, has_vertex_color
+            )
         if max_verts <= 0:
             max_verts = 8 * resolution * resolution
         if max_faces <= 0:
             max_faces = 16 * resolution * resolution
-        images = jax.device_put(images, NamedSharding(self.mesh, P(self.dp_axis)))
-        codes = self._encode(self.params, images)
         return self._extract(
             self.params, codes, resolution, float(threshold), max_verts, max_faces
         )
+
+    def extract_batch_wire(
+        self,
+        codes,
+        resolution: int = 256,
+        threshold: float = 25.0,
+        max_verts: int = 0,
+        has_vertex_color: bool = False,
+    ):
+        """Wire-format batch extraction: dp-sharded vmapped
+        ``mc_wire_device`` -> ONE (B, W) uint8 fetch -> native per-asset
+        face rebuild. Returns [(verts (nv,3) f32 world, faces (nf,3) i64,
+        colors (nv,3) f32 | None), ...]."""
+        from sculptmate_tpu.geometry import mc_wire
+
+        if max_verts <= 0:
+            max_verts = 8 * resolution * resolution
+        cached = self._wire_caps.get(resolution)
+        if cached is not None:
+            mv, bc = max(max_verts, cached[0]), cached[1]
+        else:
+            mv = max_verts
+            bc = default_block_capacity(resolution, mv)
+
+        shape = (resolution, resolution, resolution)
+        while True:
+            wires = np.asarray(
+                self._extract_wire(
+                    self.params, codes, resolution, float(threshold), mv, bc,
+                    bool(has_vertex_color),
+                )
+            )  # ONE dp-sharded D2H fetch for the whole batch
+            counts = np.stack(
+                [mc_wire.wire_counts(w, mc_wire.N_WIRE_COUNTS) for w in wires]
+            )
+            nv_max = int(counts[:, 0].max())
+            nb_max = int(counts[:, 1].max())
+            # overflow detected from the exact counters, never truncated
+            if nb_max > bc:
+                bc = max(bc + 1, int(nb_max * 1.2))
+                continue
+            if nv_max > mv:
+                mv = max(mv, 65536 * -(-int(1.2 * nv_max) // 65536))
+                continue
+            break
+        self._wire_caps[resolution] = (mv, bc)
+
+        scale = 2 * self.tsr.config.radius / (resolution - 1.0)
+        out = []
+        for w, (nv, _nb) in zip(wires, counts):
+            verts, faces, colors, _ = mc_wire.decode_wire(
+                w, shape, mv, has_colors=bool(has_vertex_color)
+            )
+            out.append(
+                (
+                    verts * scale - self.tsr.config.radius,
+                    faces.astype(np.int64),
+                    colors if (has_vertex_color and int(nv) > 0) else None,
+                )
+            )
+        return out
 
     def generate_batch_rgba(
         self,
@@ -120,10 +249,13 @@ class AssetFarm:
         threshold: float = 25.0,
         max_verts: int = 0,
         max_faces: int = 0,
+        mode: str = "wire",
+        has_vertex_color: bool = False,
     ):
         """Full streaming pipeline (BASELINE config 5): raw RGBA batch ->
         (optional) u2net matting -> fused device preprocess -> encode ->
-        extract, all stages batch-sharded over the dp axis."""
+        extract, all stages batch-sharded over the dp axis. Extraction mode
+        semantics as in ``generate_batch`` (wire triples by default)."""
         from sculptmate_tpu.frontend.preprocess import preprocess_batch_device
         from sculptmate_tpu.frontend.matting import U2NET_SIZE
 
@@ -144,7 +276,8 @@ class AssetFarm:
         size = self.tsr.config.cond_image_size
         cond = preprocess_batch_device(rgba, ratio=ratio, out_size=size)
         return self.generate_batch(
-            cond, resolution, threshold, max_verts, max_faces
+            cond, resolution, threshold, max_verts, max_faces,
+            mode=mode, has_vertex_color=has_vertex_color,
         )
 
 

@@ -549,6 +549,96 @@ def convert_u2net_state_dict(sd: Dict[str, Any]) -> Dict:
     return {"params": params, "batch_stats": stats}
 
 
+def convert_isnet_state_dict(sd: Dict[str, Any]) -> Dict:
+    """ISNetDIS (DIS repo / rembg isnet-*.onnx) state dict -> flax ISNet
+    (``frontend/isnet.py``) params + batch_stats.
+
+    Layout (reference recipe ``rembg/sessions/dis_anime.py:30``): the stem is
+    a ``myrebnconv`` named ``conv_in`` with plain ``.conv``/``.bn`` children;
+    every other conv-bn pair is a u2net-style REBNCONV (``.conv_s1`` /
+    ``.bn_s1``); side heads are ``side1..side6``.
+    """
+    params: Dict = {}
+    stats: Dict = {}
+
+    def bnconv(prefix: str, path: Tuple[str, ...], conv="conv_s1", bn="bn_s1"):
+        _conv(sd, f"{prefix}.{conv}", params, path + ("conv",))
+        _set_path(params, path + ("bn", "scale"), np.asarray(sd[f"{prefix}.{bn}.weight"]))
+        _set_path(params, path + ("bn", "bias"), np.asarray(sd[f"{prefix}.{bn}.bias"]))
+        _set_path(stats, path + ("bn", "mean"), np.asarray(sd[f"{prefix}.{bn}.running_mean"]))
+        _set_path(stats, path + ("bn", "var"), np.asarray(sd[f"{prefix}.{bn}.running_var"]))
+
+    bnconv("conv_in", ("conv_in",), conv="conv", bn="bn")
+    rebn_names = sorted(
+        {
+            m.group(1)
+            for k in sd
+            if (m := re.match(r"(.*rebnconv[^.]*)\.conv_s1\.weight", k))
+        }
+    )
+    for name in rebn_names:
+        bnconv(name, tuple(name.split(".")))
+    for i in range(1, 7):
+        if f"side{i}.weight" in sd:
+            _conv(sd, f"side{i}", params, (f"side{i}",))
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_isnet_onnx(path: str) -> Optional[Dict]:
+    """Parse an isnet-*.onnx blob's initializers into ISNet variables; None
+    if the onnx package is unavailable."""
+    sd = _onnx_initializers(path)
+    return None if sd is None else convert_isnet_state_dict(sd)
+
+
+def convert_cloth_seg_state_dict(sd: Dict[str, Any]) -> Dict:
+    """u2net_cloth_seg (U2NET(3, 4), ``u2net_cloth_seg.py:58-145``) uses the
+    exact u2net module layout with 4 output channels — same name map."""
+    return convert_u2net_state_dict(sd)
+
+
+def _onnx_initializers(path: str) -> Optional[Dict[str, Any]]:
+    try:
+        import onnx
+        from onnx import numpy_helper
+    except ImportError:
+        return None
+    model = onnx.load(path)
+    return {i.name: numpy_helper.to_array(i) for i in model.graph.initializer}
+
+
+# session-zoo weight resolution: registry name -> (blob filename, converter).
+# Every entry in frontend/sessions._REGISTRY must be coverable here.
+_SESSION_WEIGHTS = {
+    "u2net": ("u2net.onnx", convert_u2net_state_dict),
+    "u2netp": ("u2netp.onnx", convert_u2net_state_dict),
+    "u2net_human_seg": ("u2net_human_seg.onnx", convert_u2net_state_dict),
+    "silueta": ("silueta.onnx", convert_u2net_state_dict),
+    "isnet-anime": ("isnet-anime.onnx", convert_isnet_state_dict),
+    "dis_anime": ("isnet-anime.onnx", convert_isnet_state_dict),
+    "isnet-general-use": ("isnet-general-use.onnx", convert_isnet_state_dict),
+    "dis_general_use": ("isnet-general-use.onnx", convert_isnet_state_dict),
+    "u2net_cloth_seg": ("u2net_cloth_seg.onnx", convert_cloth_seg_state_dict),
+    "u2net_custom": ("u2net.onnx", convert_u2net_state_dict),
+}
+
+
+def try_load_session_params(name: str) -> Optional[Dict]:
+    """Load converted weights for a session-zoo entry if its blob (or a
+    converted native orbax dir) is present under the checkpoint dir."""
+    if name not in _SESSION_WEIGHTS:
+        return None
+    fname, converter = _SESSION_WEIGHTS[name]
+    native = os.path.join(CHECKPOINT_DIR, fname.rsplit(".", 1)[0] + "_flax")
+    if os.path.isdir(native):
+        return load_native(native)
+    blob = os.path.join(CHECKPOINT_DIR, fname)
+    if os.path.isfile(blob):
+        sd = _onnx_initializers(blob)
+        return None if sd is None else converter(sd)
+    return None
+
+
 def try_load_sam_params(variant: str = "vit_b") -> Optional[Dict]:
     """Load converted SAM weights if a sam_<variant>.pth (official torch
     checkpoint) or native orbax dir is present under the checkpoint dir."""

@@ -430,8 +430,18 @@ class TSR:
         and rebuilds faces natively on the host (~6x fewer D2H bytes, no
         device face machinery; positions within 2^-16 lattice units, colors
         uint8); "packed" ships the full f32 mesh (exact f32 colors).
+
+        In wire mode faces are rebuilt host-side with no device face buffer,
+        so ``max_faces`` has no meaning there — passing it raises; callers
+        that need a face capacity (or exact f32 colors) want ``mode="packed"``.
         """
         if mode == "wire":
+            if max_faces > 0:
+                raise ValueError(
+                    "max_faces is not applicable in wire mode (faces are "
+                    "rebuilt host-side without a device face buffer); use "
+                    'mode="packed" to bound the device face capacity'
+                )
             return self._extract_mesh_wire(
                 scene_codes, has_vertex_color, resolution, threshold, max_verts
             )

@@ -309,3 +309,116 @@ def test_sam_checkpoint_conversion_roundtrip():
         ),
         converted,
     )
+
+
+# ---------------------------------------------------------------------------
+# session-zoo converters: every registry entry has a weight path
+
+
+def _u2net_family_to_torch_sd(variables, plain_bnconv=()):
+    """Inverse-map a u2net/isnet flax tree to the torch/onnx naming so the
+    converter can be required to reproduce the exact tree (catches key-map
+    or transpose drift). ``plain_bnconv``: module names whose conv/bn pairs
+    use plain ``.conv``/``.bn`` (ISNet's myrebnconv stem) instead of
+    ``.conv_s1``/``.bn_s1``."""
+    import numpy as np
+
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    sd = {}
+
+    def conv_entry(prefix, leaf):
+        sd[f"{prefix}.weight"] = np.asarray(leaf["kernel"]).transpose(3, 2, 0, 1).copy()
+        if "bias" in leaf:
+            sd[f"{prefix}.bias"] = np.asarray(leaf["bias"]).copy()
+
+    def walk(ptree, stree, path):
+        for k, node in ptree.items():
+            name = ".".join(path + [k])
+            if "conv" in node and "bn" in node:
+                cs, bs = ("conv", "bn") if k in plain_bnconv else ("conv_s1", "bn_s1")
+                conv_entry(f"{name}.{cs}", node["conv"])
+                sd[f"{name}.{bs}.weight"] = np.asarray(node["bn"]["scale"]).copy()
+                sd[f"{name}.{bs}.bias"] = np.asarray(node["bn"]["bias"]).copy()
+                sd[f"{name}.{bs}.running_mean"] = np.asarray(stree[k]["bn"]["mean"]).copy()
+                sd[f"{name}.{bs}.running_var"] = np.asarray(stree[k]["bn"]["var"]).copy()
+            elif "kernel" in node:
+                conv_entry(name, node)
+            else:
+                walk(node, stree.get(k, {}), path + [k])
+
+    walk(params, stats, [])
+    return sd
+
+
+def _assert_tree_roundtrip(variables, converted, module, x):
+    import jax
+
+    for col in ("params", "batch_stats"):
+        flat_a = jax.tree_util.tree_leaves_with_path(variables[col])
+        flat_b = jax.tree_util.tree_leaves_with_path(converted[col])
+        keys_a = {jax.tree_util.keystr(k) for k, _ in flat_a}
+        keys_b = {jax.tree_util.keystr(k) for k, _ in flat_b}
+        assert keys_a == keys_b, (col, keys_a ^ keys_b)
+        b_by_key = {jax.tree_util.keystr(k): v for k, v in flat_b}
+        for k, v in flat_a:
+            np.testing.assert_array_equal(
+                np.asarray(v),
+                np.asarray(b_by_key[jax.tree_util.keystr(k)]),
+                err_msg=f"{col}:{jax.tree_util.keystr(k)}",
+            )
+    import jax.numpy as jnp
+
+    jax.eval_shape(lambda v: module.apply(v, jnp.asarray(x)), converted)
+
+
+@pytest.mark.parametrize(
+    "variant,out_channels",
+    [("full", 1), ("small", 1), ("full", 4)],
+    ids=["u2net", "u2netp", "cloth_seg"],
+)
+def test_u2net_family_conversion_roundtrip(variant, out_channels):
+    """convert_u2net_state_dict / convert_cloth_seg_state_dict reproduce the
+    exact flax tree from the torch/onnx naming (u2net, u2netp, and the
+    4-class cloth-seg head share one layout)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sculptmate_tpu.frontend.u2net import U2Net
+    from sculptmate_tpu.runtime.checkpoint import (
+        convert_cloth_seg_state_dict,
+        convert_u2net_state_dict,
+    )
+
+    module = U2Net(variant=variant, out_channels=out_channels)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    variables = module.init(jax.random.PRNGKey(0), x)
+    sd = _u2net_family_to_torch_sd(variables)
+    conv = convert_cloth_seg_state_dict if out_channels > 1 else convert_u2net_state_dict
+    _assert_tree_roundtrip(variables, conv(sd), module, x)
+
+
+def test_isnet_conversion_roundtrip():
+    """convert_isnet_state_dict reproduces the exact flax ISNet tree from the
+    ISNetDIS torch/onnx naming (myrebnconv stem + REBNCONV stages + sides)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sculptmate_tpu.frontend.isnet import ISNet
+    from sculptmate_tpu.runtime.checkpoint import convert_isnet_state_dict
+
+    module = ISNet()
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = module.init(jax.random.PRNGKey(0), x)
+    sd = _u2net_family_to_torch_sd(variables, plain_bnconv=("conv_in",))
+    _assert_tree_roundtrip(variables, convert_isnet_state_dict(sd), module, x)
+
+
+def test_every_session_registry_entry_has_weight_path():
+    """Each frontend session registry entry must resolve to a (blob,
+    converter) pair so shipped arches always have a weight path."""
+    from sculptmate_tpu.frontend.sessions import _REGISTRY
+    from sculptmate_tpu.runtime.checkpoint import _SESSION_WEIGHTS
+
+    missing = set(_REGISTRY) - set(_SESSION_WEIGHTS)
+    assert not missing, missing

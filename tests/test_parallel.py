@@ -36,11 +36,57 @@ def test_asset_farm_dp8(tiny_tsr, rng):
     mesh = make_mesh((8,), ("dp",))
     farm = AssetFarm(tiny_tsr, mesh)
     images = jnp.asarray(rng.random((8, 32, 32, 3)), jnp.float32)
-    res = farm.generate_batch(images, resolution=16, threshold=0.36)
+    res = farm.generate_batch(images, resolution=16, threshold=0.36, mode="packed")
     assert res.num_verts.shape == (8,)
     # every asset produced a bounded mesh
     assert (res.num_verts >= 0).all()
     assert int(res.num_verts.max()) <= 8 * 16 * 16
+
+
+def test_asset_farm_wire_matches_packed(tiny_tsr, rng):
+    """The farm's default wire path must reproduce the packed MCResult path
+    per asset: same counts, same topology, positions within u16-t
+    quantization."""
+    mesh = make_mesh((8,), ("dp",))
+    farm = AssetFarm(tiny_tsr, mesh)
+    images = jnp.asarray(rng.random((8, 32, 32, 3)), jnp.float32)
+    packed = farm.generate_batch(
+        images, resolution=16, threshold=0.36, mode="packed"
+    )
+    wire = farm.generate_batch(
+        images, resolution=16, threshold=0.36, has_vertex_color=True
+    )
+    assert len(wire) == 8
+    scale = 2 * farm.tsr.config.radius / (16 - 1.0)
+    for b in range(8):
+        verts, faces, colors = wire[b]
+        nv = int(packed.num_verts[b])
+        nf = int(packed.num_faces[b])
+        # wire-path counts must equal the device MCResult counts exactly
+        assert len(verts) == nv, (b, len(verts), nv)
+        assert len(faces) == nf, (b, len(faces), nf)
+        if nv == 0:
+            continue
+        assert colors is not None and colors.shape == (nv, 3)
+        pv = np.stack(
+            [
+                np.asarray(packed.vx[b][:nv]),
+                np.asarray(packed.vy[b][:nv]),
+                np.asarray(packed.vz[b][:nv]),
+            ],
+            axis=-1,
+        ) * scale - farm.tsr.config.radius
+        pf = np.stack(
+            [
+                np.asarray(packed.fa[b][:nf]),
+                np.asarray(packed.fb[b][:nf]),
+                np.asarray(packed.fc[b][:nf]),
+            ],
+            axis=-1,
+        )
+        # same vertex order (both enumerate cut edges in axis-major order)
+        assert np.max(np.abs(pv - verts)) < 2e-4 * scale * 16
+        np.testing.assert_array_equal(pf, faces)
 
 
 def test_asset_farm_full_pipeline_rgba(tiny_tsr, rng):
@@ -49,10 +95,15 @@ def test_asset_farm_full_pipeline_rgba(tiny_tsr, rng):
     rgba = np.zeros((8, 64, 64, 4), np.float32)
     rgba[:, 16:48, 20:44, :3] = rng.random((8, 32, 24, 3))
     rgba[:, 16:48, 20:44, 3] = 1.0
-    res = farm.generate_batch_rgba(
+    meshes = farm.generate_batch_rgba(
         jnp.asarray(rgba), matting=None, resolution=16, threshold=0.36
     )
-    assert res.num_verts.shape == (8,)
+    assert len(meshes) == 8
+    for verts, faces, colors in meshes:
+        assert verts.ndim == 2 and verts.shape[1] == 3
+        assert faces.ndim == 2 and faces.shape[1] == 3
+        if len(faces):
+            assert faces.max() < len(verts)
 
 
 def test_sharded_density_grid_sp(tiny_tsr, rng):
@@ -96,6 +147,64 @@ def test_tp_backbone_matches_unsharded(tiny_tsr, rng):
     a = np.asarray(farm_plain._encode(farm_plain.params, imgs))
     b = np.asarray(farm_tp._encode(farm_tp.params, imgs))
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
+@pytest.fixture(scope="module")
+def tiny_sf3d_pair():
+    from sculptmate_tpu.systems.sf3d import SF3D, SF3DConfig
+
+    cfg = SF3DConfig(
+        cond_image_size=56,
+        isosurface_resolution=14,
+        plane_size=8,
+        num_channels=64,
+        num_attention_heads=4,
+        attention_head_dim=16,
+        num_latents=32,
+        num_blocks=1,
+        num_basic_blocks=1,
+        upsample_scale_factor=2,
+        upsample_conv_layers=2,
+        dinov2_hidden_size=64,
+        dinov2_num_layers=2,
+        dinov2_num_heads=4,
+        dinov2_intermediate_size=128,
+        clip_width=64,
+        clip_layers=2,
+        clip_heads=4,
+    )
+    plain = SF3D(cfg, dtype=jnp.float32)
+    tp = SF3D(cfg, params=plain.params, dtype=jnp.float32, tp_axis="tp")
+    return plain, tp
+
+
+def test_tp_sf3d_encode_matches_unsharded(tiny_sf3d_pair, rng, monkeypatch):
+    """TP-sharded SF3D encode (heads/hidden column-sharded in the two-stream
+    backbone, chunked attention via the ``allow_flash=tp_axis is None``
+    switch) must reproduce the unsharded encode. _FUSED_LIMIT is pinned low
+    so the TP module really runs the chunked fallback, not the fused path."""
+    from sculptmate_tpu.ops import attention as attn_mod
+
+    plain, tp = tiny_sf3d_pair
+    mesh = make_mesh((2, 4), ("dp", "tp"))
+    assert tp.module.tp_axis == "tp"
+    rgb = jnp.asarray(rng.random((2, 56, 56, 3)), jnp.float32)
+
+    codes_a, direct_a = plain.get_scene_codes(rgb)
+
+    monkeypatch.setattr(attn_mod, "_FUSED_LIMIT", 1)
+    rgb_sharded = jax.device_put(
+        rgb, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("dp"))
+    )
+    with jax.sharding.set_mesh(mesh):
+        codes_b, direct_b = tp.get_scene_codes(rgb_sharded)
+
+    np.testing.assert_allclose(
+        np.asarray(codes_a), np.asarray(codes_b), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(direct_a), np.asarray(direct_b), rtol=2e-4, atol=2e-5
+    )
 
 
 def test_sharded_extract_matches_single_device(tiny_tsr, rng):
