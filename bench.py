@@ -87,10 +87,10 @@ def main():
         print("# WARNING: empty benchmark mesh - threshold miscalibrated", file=sys.stderr)
     # size capacities off the warmup mesh (like a production server would,
     # per model checkpoint): avoids per-iteration overflow retries and
-    # capacity-inflated transfers
+    # capacity-inflated transfers (wire mode has no device face buffer, so
+    # only the vertex capacity applies)
     caps = {
         "max_verts": 65536 * -(-int(len(verts) * 1.25) // 65536),
-        "max_faces": 65536 * -(-int(len(faces) * 1.25) // 65536),
     }
     verts, faces, colors = run_once()  # warm the final-capacity programs
     print(f"# capacities: {caps}", file=sys.stderr)

@@ -21,16 +21,26 @@ def decimate(
     faces: np.ndarray,
     target_ratio: float = 0.5,
     aggressiveness: float = 7.0,
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Reduce face count to ~target_ratio. Returns (verts, faces)."""
+    return_normals: bool = False,
+):
+    """Reduce face count to ~target_ratio. Returns (verts, faces) or, with
+    ``return_normals``, (verts, faces, vertex_normals) — the normals come
+    out of the native compaction stream for ~free (vs a separate host
+    bincount pass) with ``Mesh._compute_vertex_normal`` semantics."""
     verts = np.ascontiguousarray(verts, np.float32)
     faces = np.ascontiguousarray(faces, np.int32)
     if target_ratio >= 1.0 or len(faces) < 8:
+        if return_normals:
+            from sculptmate_tpu.geometry.mesh import Mesh
+
+            return verts, faces, Mesh(verts, faces).v_nrm
         return verts, faces
 
     lib = load_native("quadric_decimate")
     if lib is not None:
-        return _decimate_native(lib, verts, faces, target_ratio, aggressiveness)
+        return _decimate_native(
+            lib, verts, faces, target_ratio, aggressiveness, return_normals
+        )
     import warnings
 
     warnings.warn(
@@ -40,10 +50,17 @@ def decimate(
         RuntimeWarning,
         stacklevel=2,
     )
-    return _decimate_cluster(verts, faces, target_ratio)
+    v, f = _decimate_cluster(verts, faces, target_ratio)
+    if return_normals:
+        from sculptmate_tpu.geometry.mesh import Mesh
+
+        return v, f, Mesh(v, f).v_nrm
+    return v, f
 
 
-def _decimate_native(lib, verts, faces, target_ratio, aggressiveness):
+def _decimate_native(
+    lib, verts, faces, target_ratio, aggressiveness, return_normals=False
+):
     fn = lib.quadric_decimate
     fn.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
@@ -51,12 +68,14 @@ def _decimate_native(lib, verts, faces, target_ratio, aggressiveness):
         ctypes.c_double, ctypes.c_double,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_float),
     ]
     fn.restype = None
 
     nv, nf = len(verts), len(faces)
     out_verts = np.empty_like(verts)
     out_faces = np.empty_like(faces)
+    out_nrm = np.empty_like(verts) if return_normals else None
     out_nv = ctypes.c_int64(0)
     out_nf = ctypes.c_int64(0)
     fn(
@@ -67,11 +86,15 @@ def _decimate_native(lib, verts, faces, target_ratio, aggressiveness):
         ctypes.byref(out_nv),
         out_faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         ctypes.byref(out_nf),
+        out_nrm.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        if out_nrm is not None
+        else ctypes.POINTER(ctypes.c_float)(),
     )
-    return (
-        out_verts[: out_nv.value].copy(),
-        out_faces[: out_nf.value].astype(np.int64).copy(),
-    )
+    v = out_verts[: out_nv.value].copy()
+    f = out_faces[: out_nf.value].astype(np.int64).copy()
+    if return_normals:
+        return v, f, out_nrm[: out_nv.value].copy()
+    return v, f
 
 
 def _decimate_cluster(verts, faces, target_ratio):

@@ -249,17 +249,24 @@ class Mesh:
             )
             uv_flat_direct = None
 
-        # per-face vertex duplication, as in the reference
-        individual_vertices = self.v_pos[self.t_pos_idx].reshape(-1, 3)
-        individual_faces = np.arange(len(individual_vertices), dtype=np.int64).reshape(
-            -1, 3
-        )
         uv_flat = (
             uv_flat_direct.reshape(-1, 2)
             if uv_flat_direct is not None
             else uv[indices].reshape(-1, 2)
         )
+        return self.apply_flat_uv(uv_flat)
 
+    def apply_flat_uv(self, uv_flat: np.ndarray) -> "Mesh":
+        """Install per-corner UVs (F, 3, 2)/(3F, 2) by duplicating vertices
+        per-face, as the reference's ``unwrap_uv`` does
+        (``sf3d/models/mesh.py:239-263``); normals/tangents collapse to the
+        per-face values (see comment below)."""
+        uv_flat = np.asarray(uv_flat, np.float32).reshape(-1, 2)
+        # per-face vertex duplication, as in the reference
+        individual_vertices = self.v_pos[self.t_pos_idx].reshape(-1, 3)
+        individual_faces = np.arange(len(individual_vertices), dtype=np.int64).reshape(
+            -1, 3
+        )
         self.v_pos = individual_vertices
         self.t_pos_idx = individual_faces
         self._v_tex = uv_flat.astype(np.float32)

@@ -10,22 +10,49 @@
 //
 // Build: g++ -O3 -shared -fPIC quadric_decimate.cpp -o libquadric_decimate.so
 
+#include <chrono>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <vector>
+#include <algorithm>
+
+namespace {
+inline bool profile_enabled() {
+  static int on = -1;
+  if (on < 0) on = std::getenv("SCULPTMATE_DECIMATE_PROFILE") ? 1 : 0;
+  return on;
+}
+inline double now_ms() {
+  return std::chrono::duration<double, std::milli>(
+             std::chrono::steady_clock::now().time_since_epoch())
+      .count();
+}
+}  // namespace
 
 namespace {
 
+// quadric coefficient precision: float halves the memory traffic of the
+// dominant random-access passes (the algorithm is cache-miss-bound on one
+// core); positions and plane computation stay double. Rebuild with
+// -DSCULPTMATE_QREAL=double to restore full-precision quadrics.
+#ifndef SCULPTMATE_QREAL
+#define SCULPTMATE_QREAL float
+#endif
+typedef SCULPTMATE_QREAL qreal;
+
 struct SymMat {
   // symmetric 4x4, 10 coefficients
-  double m[10];
+  qreal m[10];
   SymMat() { std::memset(m, 0, sizeof(m)); }
   SymMat(double a, double b, double c, double d) {
-    m[0] = a * a; m[1] = a * b; m[2] = a * c; m[3] = a * d;
-    m[4] = b * b; m[5] = b * c; m[6] = b * d;
-    m[7] = c * c; m[8] = c * d;
-    m[9] = d * d;
+    m[0] = (qreal)(a * a); m[1] = (qreal)(a * b); m[2] = (qreal)(a * c);
+    m[3] = (qreal)(a * d);
+    m[4] = (qreal)(b * b); m[5] = (qreal)(b * c); m[6] = (qreal)(b * d);
+    m[7] = (qreal)(c * c); m[8] = (qreal)(c * d);
+    m[9] = (qreal)(d * d);
   }
   SymMat operator+(const SymMat& o) const {
     SymMat r;
@@ -37,9 +64,11 @@ struct SymMat {
   }
   double det(int a11, int a12, int a13, int a21, int a22, int a23, int a31,
              int a32, int a33) const {
-    return m[a11] * m[a22] * m[a33] + m[a13] * m[a21] * m[a32] +
-           m[a12] * m[a23] * m[a31] - m[a13] * m[a22] * m[a31] -
-           m[a11] * m[a23] * m[a32] - m[a12] * m[a21] * m[a33];
+    // evaluate in double regardless of storage precision: the 3x3 dets
+    // cancel heavily and drive the collapse-point solve
+    return (double)m[a11] * m[a22] * m[a33] + (double)m[a13] * m[a21] * m[a32] +
+           (double)m[a12] * m[a23] * m[a31] - (double)m[a13] * m[a22] * m[a31] -
+           (double)m[a11] * m[a23] * m[a32] - (double)m[a12] * m[a21] * m[a33];
   }
 };
 
@@ -137,7 +166,6 @@ struct Simplifier {
 
   void update_triangles(int i0, const Vertex& v, const std::vector<bool>& deleted,
                         int& deleted_triangles) {
-    Vec3 p;
     for (int k = 0; k < v.tcount; k++) {
       VRef r = refs[v.tstart + k];
       Triangle& t = triangles[r.tid];
@@ -148,24 +176,32 @@ struct Simplifier {
         continue;
       }
       t.v[r.tvertex] = i0;
+      // errors are NOT recomputed here: dirty triangles are skipped for the
+      // rest of this sweep anyway, so their errors are refreshed ONCE in the
+      // next update_mesh (with the final post-sweep quadrics) instead of
+      // once per incident collapse — ~2x less error math per sweep
       t.dirty = true;
-      t.err[0] = calculate_error(t.v[0], t.v[1], p);
-      t.err[1] = calculate_error(t.v[1], t.v[2], p);
-      t.err[2] = calculate_error(t.v[2], t.v[0], p);
-      t.err[3] = std::fmin(t.err[0], std::fmin(t.err[1], t.err[2]));
       refs.push_back(r);
     }
   }
 
   void update_mesh(int iteration) {
-    if (iteration > 0) {  // compact triangle list
+    if (iteration > 0) {  // compact triangle list + deferred error refresh
       size_t dst = 0;
       for (size_t i = 0; i < triangles.size(); i++)
         if (!triangles[i].deleted) triangles[dst++] = triangles[i];
       triangles.resize(dst);
+      Vec3 p;
+      for (auto& t : triangles) {
+        if (!t.dirty) continue;
+        for (int j = 0; j < 3; j++)
+          t.err[j] = calculate_error(t.v[j], t.v[(j + 1) % 3], p);
+        t.err[3] = std::fmin(t.err[0], std::fmin(t.err[1], t.err[2]));
+      }
     }
 
     if (iteration == 0) {
+      double q0 = now_ms();
       for (auto& v : vertices) v.q = SymMat();
       for (auto& t : triangles) {
         Vec3 p[3] = {vertices[t.v[0]].p, vertices[t.v[1]].p, vertices[t.v[2]].p};
@@ -174,12 +210,16 @@ struct Simplifier {
         SymMat plane(n.x, n.y, n.z, -n.dot(p[0]));
         for (int j = 0; j < 3; j++) vertices[t.v[j]].q += plane;
       }
+      double q1 = now_ms();
       Vec3 p;
       for (auto& t : triangles) {
         for (int j = 0; j < 3; j++)
           t.err[j] = calculate_error(t.v[j], t.v[(j + 1) % 3], p);
         t.err[3] = std::fmin(t.err[0], std::fmin(t.err[1], t.err[2]));
       }
+      if (profile_enabled())
+        std::fprintf(stderr, "[decimate]   init: quadrics %.1f ms errors %.1f ms\n",
+                     q1 - q0, now_ms() - q1);
     }
 
     // rebuild refs
@@ -199,28 +239,56 @@ struct Simplifier {
     }
 
     if (iteration == 0) {  // border detection
-      std::vector<int> vcount, vids;
-      for (auto& v : vertices) v.border = false;
-      for (size_t i = 0; i < vertices.size(); i++) {
-        Vertex& v = vertices[i];
-        vcount.clear();
-        vids.clear();
-        for (int j = 0; j < v.tcount; j++) {
-          const Triangle& t = triangles[refs[v.tstart + j].tid];
-          for (int k = 0; k < 3; k++) {
-            int id = t.v[k];
-            if (id == (int)i) continue;
-            size_t ofs = 0;
-            for (; ofs < vcount.size(); ofs++)
-              if (vids[ofs] == id) break;
-            if (ofs == vcount.size()) { vcount.push_back(1); vids.push_back(id); }
-            else vcount[ofs]++;
-          }
+      // Per-vertex signed-hash accumulators instead of the reference's
+      // O(sum deg^2) scans or a 3F-entry edge table: each directed edge
+      // (a,b) adds a strong 64-bit hash of its undirected key to BOTH
+      // endpoint accumulators, signed by direction. Paired edges cancel
+      // exactly, so a vertex accumulator is nonzero iff some incident edge
+      // is unpaired (a border/non-manifold edge) — up to astronomically
+      // unlikely hash cancellation. Working set = one u64 per vertex
+      // (LLC-resident), one stream over the triangles.
+      auto mix = [](uint64_t key) {
+        key ^= key >> 33; key *= 0xFF51AFD7ED558CCDull;
+        key ^= key >> 33; key *= 0xC4CEB9FE1A85EC53ull;
+        return key ^ (key >> 33);
+      };
+      std::vector<uint64_t> acc(vertices.size(), 0);
+      for (auto& t : triangles) {
+        for (int j = 0; j < 3; j++) {
+          uint32_t a = (uint32_t)t.v[j], b = (uint32_t)t.v[(j + 1) % 3];
+          uint64_t key = a < b ? ((uint64_t)a << 32) | b : ((uint64_t)b << 32) | a;
+          uint64_t h = mix(key);
+          uint64_t s = (a < b) ? h : (uint64_t)(-(int64_t)h);
+          acc[a] += s;
+          acc[b] += s;
         }
-        for (size_t j = 0; j < vcount.size(); j++)
-          if (vcount[j] == 1) vertices[vids[j]].border = true;
       }
+      for (size_t i = 0; i < vertices.size(); i++)
+        vertices[i].border = acc[i] != 0;
     }
+  }
+
+  // Pick the starting sweep threshold from the initial edge-error
+  // distribution so the FIRST sweep already reaches for the target
+  // removal count, instead of ramping through several near-empty sweeps
+  // (the reference schedule 1e-9*(iter+3)^a spends its first iterations
+  // collapsing ~0.3% of a lattice mesh). A successful collapse deletes
+  // ~2 triangles; aim at ~60% of the needed collapses in sweep one
+  // (vetoes and dirty-marking absorb the rest across later sweeps).
+  double jumpstart_threshold(int target_count) {
+    size_t alive = 0;
+    for (auto& t : triangles) alive += !t.deleted;
+    double removals = (double)alive - (double)target_count;
+    if (removals <= 0) return 0.0;
+    size_t want = (size_t)(removals * 0.5 * 0.6);
+    if (want < 16) return 0.0;
+    std::vector<double> errs;
+    errs.reserve(alive);
+    for (auto& t : triangles)
+      if (!t.deleted) errs.push_back(t.err[3]);
+    if (want >= errs.size()) want = errs.size() - 1;
+    std::nth_element(errs.begin(), errs.begin() + want, errs.end());
+    return errs[want];
   }
 
   void simplify(int target_count, double aggressiveness) {
@@ -228,13 +296,23 @@ struct Simplifier {
     int deleted_triangles = 0;
     std::vector<bool> deleted0, deleted1;
     int triangle_count = (int)triangles.size();
+    double thr_floor = 0.0;
+    // collapses append ~2x the collapsed vertices' ref lists; reserve so the
+    // sweep never reallocates the 3F-element base array mid-loop
+    refs.reserve(triangles.size() * 3 * 2);
 
     for (int iteration = 0; iteration < 100; iteration++) {
       if (triangle_count - deleted_triangles <= target_count) break;
+      double t0 = now_ms();
       update_mesh(iteration);
       for (auto& t : triangles) t.dirty = false;
+      double t1 = now_ms();
+      if (iteration == 0)
+        thr_floor = jumpstart_threshold(target_count);
 
-      double threshold = 1e-9 * std::pow(double(iteration + 3), aggressiveness);
+      double threshold = std::fmax(
+          thr_floor * std::pow(8.0, double(iteration)),
+          1e-9 * std::pow(double(iteration + 3), aggressiveness));
 
       for (size_t ti = 0; ti < triangles.size(); ti++) {
         Triangle& t = triangles[ti];
@@ -266,27 +344,82 @@ struct Simplifier {
         }
         if (triangle_count - deleted_triangles <= target_count) break;
       }
+      if (profile_enabled()) {
+        std::fprintf(
+            stderr,
+            "[decimate] iter %d: update %.1f ms sweep %.1f ms  alive %d/%d thr %.3g\n",
+            iteration, t1 - t0, now_ms() - t1,
+            triangle_count - deleted_triangles, triangle_count, threshold);
+      }
     }
-    // final compaction of vertices + triangles
-    compact();
   }
 
-  void compact() {
-    std::vector<int> vmap(vertices.size(), -1);
-    size_t dst = 0;
-    for (size_t i = 0; i < triangles.size(); i++)
-      if (!triangles[i].deleted) triangles[dst++] = triangles[i];
-    triangles.resize(dst);
-    int next = 0;
-    for (auto& t : triangles)
-      for (int j = 0; j < 3; j++)
-        if (vmap[t.v[j]] < 0) vmap[t.v[j]] = next++;
-    std::vector<Vertex> nv(next);
-    for (size_t i = 0; i < vertices.size(); i++)
-      if (vmap[i] >= 0) nv[vmap[i]] = vertices[i];
-    for (auto& t : triangles)
-      for (int j = 0; j < 3; j++) t.v[j] = vmap[t.v[j]];
-    vertices = std::move(nv);
+  // Compact straight into the caller's output buffers: alive triangles are
+  // renumbered in first-use vertex order and only positions survive (the
+  // quadric/ref state dies with the Simplifier) — one stream, no struct
+  // copies. If out_normals is non-null, area-weighted vertex normals
+  // (the ``Mesh._compute_vertex_normal`` semantics: face-cross scatter,
+  // zero-normal fallback +z, normalized) are accumulated in the same
+  // stream — ~free here vs a separate host numpy bincount pass.
+  void compact_into(float* out_verts, int64_t* out_nv, int32_t* out_faces,
+                    int64_t* out_nf, float* out_normals) {
+    double c0 = now_ms();
+    std::vector<int32_t> vmap(vertices.size(), -1);
+    int32_t next = 0;
+    int64_t nf = 0;
+    for (auto& t : triangles) {
+      if (t.deleted) continue;
+      for (int j = 0; j < 3; j++) {
+        int32_t id = t.v[j];
+        if (vmap[id] < 0) {
+          vmap[id] = next;
+          const Vec3& p = vertices[id].p;
+          out_verts[3 * next] = (float)p.x;
+          out_verts[3 * next + 1] = (float)p.y;
+          out_verts[3 * next + 2] = (float)p.z;
+          next++;
+        }
+        out_faces[3 * nf + j] = vmap[id];
+      }
+      nf++;
+    }
+    *out_nv = next;
+    *out_nf = nf;
+    if (out_normals) {
+      // double accumulators match the host numpy bincount (f64) semantics
+      std::vector<double> acc(3 * (size_t)next, 0.0);
+      for (int64_t i = 0; i < nf; i++) {
+        const int32_t* f = out_faces + 3 * i;
+        Vec3 p0{out_verts[3 * f[0]], out_verts[3 * f[0] + 1],
+                out_verts[3 * f[0] + 2]};
+        Vec3 p1{out_verts[3 * f[1]], out_verts[3 * f[1] + 1],
+                out_verts[3 * f[1] + 2]};
+        Vec3 p2{out_verts[3 * f[2]], out_verts[3 * f[2] + 1],
+                out_verts[3 * f[2] + 2]};
+        Vec3 n = (p1 - p0).cross(p2 - p0);  // area-weighted (unnormalized)
+        for (int j = 0; j < 3; j++) {
+          acc[3 * (size_t)f[j]] += n.x;
+          acc[3 * (size_t)f[j] + 1] += n.y;
+          acc[3 * (size_t)f[j] + 2] += n.z;
+        }
+      }
+      for (int32_t i = 0; i < next; i++) {
+        double nx = acc[3 * (size_t)i], ny = acc[3 * (size_t)i + 1],
+               nz = acc[3 * (size_t)i + 2];
+        double len2 = nx * nx + ny * ny + nz * nz;
+        float* n = out_normals + 3 * i;
+        if (len2 <= 1e-20) {
+          n[0] = 0.0f; n[1] = 0.0f; n[2] = 1.0f;
+        } else {
+          double inv = 1.0 / std::sqrt(len2);
+          n[0] = (float)(nx * inv);
+          n[1] = (float)(ny * inv);
+          n[2] = (float)(nz * inv);
+        }
+      }
+    }
+    if (profile_enabled())
+      std::fprintf(stderr, "[decimate]   compact+out: %.1f ms\n", now_ms() - c0);
   }
 };
 
@@ -296,10 +429,13 @@ extern "C" {
 
 // Returns actual output counts via out_nv/out_nf. Output buffers must be
 // sized for the input (decimation never grows the mesh).
+// out_normals may be null; when given it receives area-weighted vertex
+// normals of the output mesh (3 floats per output vertex).
 void quadric_decimate(const float* verts, int64_t nv, const int32_t* faces,
                       int64_t nf, double target_ratio, double aggressiveness,
                       float* out_verts, int64_t* out_nv, int32_t* out_faces,
-                      int64_t* out_nf) {
+                      int64_t* out_nf, float* out_normals) {
+  double e0 = now_ms();
   Simplifier s;
   s.vertices.resize(nv);
   for (int64_t i = 0; i < nv; i++) {
@@ -314,16 +450,9 @@ void quadric_decimate(const float* verts, int64_t nv, const int32_t* faces,
   int target = (int)(nf * target_ratio);
   if (target < 4) target = 4;
   s.simplify(target, aggressiveness);
-
-  *out_nv = (int64_t)s.vertices.size();
-  *out_nf = (int64_t)s.triangles.size();
-  for (size_t i = 0; i < s.vertices.size(); i++) {
-    out_verts[3 * i] = (float)s.vertices[i].p.x;
-    out_verts[3 * i + 1] = (float)s.vertices[i].p.y;
-    out_verts[3 * i + 2] = (float)s.vertices[i].p.z;
-  }
-  for (size_t i = 0; i < s.triangles.size(); i++)
-    for (int j = 0; j < 3; j++) out_faces[3 * i + j] = s.triangles[i].v[j];
+  s.compact_into(out_verts, out_nv, out_faces, out_nf, out_normals);
+  if (profile_enabled())
+    std::fprintf(stderr, "[decimate]   total C: %.1f ms\n", now_ms() - e0);
 }
 
 }  // extern "C"

@@ -42,9 +42,20 @@ _FACE_RULES = [
 
 
 def _align_with_main_axis(v_pos: np.ndarray, v_nrm: np.ndarray):
+    rot = _main_axis_rotation(v_pos)
+    return v_pos @ rot.T, v_nrm @ rot.T
+
+
+def _main_axis_rotation(v_pos: np.ndarray) -> np.ndarray:
+    """The PCA axis-alignment rotation (``unwrap.py:565-641`` semantics):
+    returns ``rot`` with rotated = v @ rot.T (so world = rotated @ rot)."""
     centered = v_pos - v_pos.mean(0, keepdims=True)
-    # top-2 principal directions (torch.pca_lowrank equivalent)
-    _, _, vt = np.linalg.svd(centered, full_matrices=False)
+    # top-2 principal directions via the 3x3 covariance eigendecomposition —
+    # same axes as the reference's (randomized) torch.pca_lowrank, O(N)
+    # instead of a full (N, 3) SVD on the single host core
+    cov = (centered.T.astype(np.float64) @ centered.astype(np.float64))
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    vt = evecs[:, ::-1].T.astype(np.float32)  # rows = descending components
     main_axis = vt[0]
     second = vt[1]
     main_axis = main_axis / max(np.linalg.norm(main_axis), 1e-6)
@@ -70,8 +81,7 @@ def _align_with_main_axis(v_pos: np.ndarray, v_nrm: np.ndarray):
     axes = [None] * 3
     for a, i in zip((main_axis, second, third), idxs):
         axes[i] = a
-    rot = np.stack(axes, axis=1).T
-    return v_pos @ rot.T, v_nrm @ rot.T
+    return np.stack(axes, axis=1).T.astype(np.float32)
 
 
 def _box_assign(v_pos, v_nrm, faces):

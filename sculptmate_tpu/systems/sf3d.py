@@ -386,11 +386,13 @@ class SF3D:
         enable_texture: bool = True,
         threshold: Optional[float] = None,
         metrics=None,
+        fused: Optional[bool] = None,
     ) -> Optional[Dict[str, Any]]:
         """image: (1, H, W, 3|4) float [0,1]. Returns a mesh dict or None.
 
         ``metrics``: optional ``runtime.logging.StageMetrics`` to record
-        per-stage wall clock."""
+        per-stage wall clock. ``fused``: force the one-program unwrap+bake
+        path on/off (default: on when an accelerator backend is active)."""
         import contextlib
 
         stage = metrics.stage if metrics is not None else (
@@ -441,7 +443,6 @@ class SF3D:
         lverts, faces, _ = mt_wire.decode_wire(wire, res, max_verts)
         # [0,1] lattice coords -> world bbox (sf3d/system.py:193)
         verts = lverts * (2 * c.radius) - c.radius
-        mesh = Mesh(verts, faces.astype(np.int64))
         stage_extract.__exit__(None, None, None)
 
         # vertex budget (sf3d/system.py:346-351; the reference compares
@@ -450,14 +451,51 @@ class SF3D:
         factor = {"high": 0.75, "med": 0.4, "medium": 0.4, "low": 0.1}.get(
             vertex_simplification_factor, 0.75
         )
-        vertex_count = round(factor * len(mesh.v_pos))
-        if remesh == "triangle":
+        vertex_count = round(factor * len(verts))
+        v_nrm = None
+        if remesh == "triangle" and vertex_count < len(verts):
+            from sculptmate_tpu.geometry.decimate import decimate
+
             with stage("decimate"):
-                mesh = mesh.triangle_remesh(triangle_vertex_count=vertex_count)
+                # straight from the decoder's i32 faces (no Mesh/int64
+                # round trip); vertex normals come out of the native
+                # compaction stream for free
+                verts, faces, v_nrm = decimate(
+                    verts, faces, target_ratio=vertex_count / len(verts),
+                    return_normals=True,
+                )
+        mesh = Mesh(verts, faces.astype(np.int64))
+        if v_nrm is not None:
+            mesh._v_nrm = v_nrm
+
+        import jax as _jax
+
+        use_fused = enable_texture and (
+            fused if fused is not None else _jax.default_backend() != "cpu"
+        )
+        if use_fused:
+            # unwrap + bake as ONE device program (one upload, one compact
+            # uint8 fetch) — the staged path pays ~2x the transfers plus two
+            # dispatch round trips
+            with stage("unwrap_bake"):
+                uv_flat, textures = self.unwrap_bake(
+                    mesh.v_pos, mesh.v_nrm, mesh.t_pos_idx, scene_codes[0],
+                    global_dict, bake_resolution,
+                )
+                mesh.apply_flat_uv(uv_flat)
+            out: Dict[str, Any] = {
+                "verts": mesh.v_pos,
+                "faces": mesh.t_pos_idx,
+                "uvs": mesh.v_tex,
+                "normals": mesh.v_nrm,
+            }
+            out.update(textures)
+            return out
+
         with stage("unwrap"):
             mesh.unwrap_uv(backend="auto")
 
-        out: Dict[str, Any] = {
+        out = {
             "verts": mesh.v_pos,
             "faces": mesh.t_pos_idx,
             "uvs": mesh.v_tex,
@@ -512,8 +550,35 @@ class SF3D:
         u = attrs_u16[3].astype(jnp.float32) / 65535.0
         v = attrs_u16[4].astype(jnp.float32) / 65535.0
 
+        albedo_img, bump_img, mask, counters = self._bake_core(
+            scene_code,
+            (u[fa], u[fb], u[fc]),
+            (v[fa], v[fb], v[fc]),
+            pos_v, fa, fb, fc, res, pair_capacity, pair2_capacity,
+        )
+        meta = jnp.zeros((1, res, res), jnp.float32)
+        meta = (
+            meta.at[0, 0, 0].set(rm[0])
+            .at[0, 0, 1].set(rm[1])
+            .at[0, 0, 2].set(counters[0].astype(jnp.float32))
+            .at[0, 0, 3].set(counters[1].astype(jnp.float32))
+            .at[0, 0, 4].set(counters[2].astype(jnp.float32))
+        )
+        return jnp.concatenate([albedo_img, bump_img, meta], axis=0)
+
+    def _bake_core(
+        self, scene_code, uc, vc, pos_v, fa, fb, fc, res, pair_capacity,
+        pair2_capacity,
+    ):
+        """Shared trace-time bake: rasterize per-corner UVs, interpolate
+        world positions, query materials, compose the tangent-space bump,
+        dilate islands. ``uc``/``vc``: per-corner (F,) uv triples; ``pos_v``:
+        3 per-vertex world coordinate rows; ``fa/fb/fc``: corner vertex ids
+        (used only for winner-texel gathers). Returns
+        (albedo (3,res,res), bump (3,res,res), mask (res,res) bool,
+        counters (3,) int32 raster-capacity indicators)."""
         rast, total_fine, total_coarse, n_multi = texture_bake.rasterize_device(
-            u[fa], v[fa], u[fb], v[fb], u[fc], v[fc], res, pair_capacity,
+            uc[0], vc[0], uc[1], vc[1], uc[2], vc[2], res, pair_capacity,
             pair2_capacity,
         )  # (4, res, res)
         mask = rast[3] >= 0
@@ -529,9 +594,9 @@ class SF3D:
         p0 = jnp.stack([corner(c, fa) for c in pos_v])  # (3, T)
         p1 = jnp.stack([corner(c, fb) for c in pos_v])
         p2 = jnp.stack([corner(c, fc) for c in pos_v])
-        uv0 = jnp.stack([corner(u, fa), corner(v, fa)])  # (2, T)
-        uv1 = jnp.stack([corner(u, fb), corner(v, fb)])
-        uv2 = jnp.stack([corner(u, fc), corner(v, fc)])
+        uv0 = jnp.stack([uc[0][tid], vc[0][tid]])  # (2, T)
+        uv1 = jnp.stack([uc[1][tid], vc[1][tid]])
+        uv2 = jnp.stack([uc[2][tid], vc[2][tid]])
 
         flat = lambda a: a.reshape(3, -1)
         px, py, pz = flat(pos)
@@ -572,16 +637,8 @@ class SF3D:
         iters = max(res // 150, 1)
         albedo_img = texture_bake.dilate_fill(albedo_img, mask, iters)
         bump_img = texture_bake.dilate_fill(bump_img, mask, iters)
-
-        meta = jnp.zeros((1, res, res), jnp.float32)
-        meta = (
-            meta.at[0, 0, 0].set(rm[0])
-            .at[0, 0, 1].set(rm[1])
-            .at[0, 0, 2].set(total_fine.astype(jnp.float32))
-            .at[0, 0, 3].set(total_coarse.astype(jnp.float32))
-            .at[0, 0, 4].set(n_multi.astype(jnp.float32))
-        )
-        return jnp.concatenate([albedo_img, bump_img, meta], axis=0)
+        counters = jnp.stack([total_fine, total_coarse, n_multi])
+        return albedo_img, bump_img, mask, counters
 
     def _surface_query(self, scene_code, px, py, pz):
         """Material query at baked surface positions (chunked, trace-time)."""
@@ -608,6 +665,288 @@ class SF3D:
             jnp.swapaxes(parts[0], 0, 1).reshape(3, n),
             jnp.swapaxes(parts[1], 0, 1).reshape(3, n),
         )
+
+    # ------------------------------------------------------------------
+    @functools.partial(jax.jit, static_argnums=(0, 8, 9, 10))
+    def _unwrap_bake_jit(
+        self, scene_code, attrs_u16, fa, fb, fc, rm_bbox_rot, n_counts,
+        bake_resolution, island_padding, caps,
+    ):
+        """UV unwrap + texture bake as ONE device program, ONE compact uint8
+        output (no host round trip between the stages; round 2 spent ~3.3 s
+        there, most of it tunnel transfers + per-stage dispatch latency).
+
+        Inputs: ``attrs_u16`` (6, Nvb) u16 — PCA-ROTATED positions quantized
+        over their bbox (rows 0-2) + vertex normals quantized over [-1, 1]
+        (rows 3-5); ``rm_bbox_rot`` (17,) f32 = [roughness, metallic,
+        bbox_min(3), bbox_max(3), rot(9 row-major)] where ``rot`` is the host
+        PCA rotation (world = rotated @ rot); ``n_counts`` (2,) i32 =
+        (n_verts, n_faces); ``caps`` = (unwrap_pair, unwrap_pair2,
+        unwrap_multi, bake_pair, bake_pair2) static capacities.
+
+        Output wire (uint8): [albedo u8 3*res^2][bump u8 3*res^2]
+        [uv u16-le 6 per face][counters u32 x6][rm u16 x2]. Bump is dithered
+        on device over covered texels (``float32_to_uint8`` semantics with a
+        counter-based uniform noise).
+        """
+        from sculptmate_tpu.geometry.uv_unwrap_device import _unwrap_core
+
+        res = bake_resolution
+        rm = rm_bbox_rot[:2]
+        bb_min = rm_bbox_rot[2:5]
+        bb_max = rm_bbox_rot[5:8]
+        rot = rm_bbox_rot[8:17].reshape(3, 3)
+        n_verts = n_counts[0]
+        n_faces = n_counts[1]
+
+        scale = (bb_max - bb_min) / 65535.0
+        rp = [
+            attrs_u16[c].astype(jnp.float32) * scale[c] + bb_min[c]
+            for c in range(3)
+        ]  # rotated positions, 3 x (Nv,)
+        nrm = [
+            attrs_u16[3 + c].astype(jnp.float32) / 65535.0 * 2.0 - 1.0
+            for c in range(3)
+        ]
+
+        uv_q, _atlas, unwrap_counters = _unwrap_core(
+            rp[0], rp[1], rp[2], nrm[0], nrm[1], nrm[2], fa, fb, fc,
+            n_verts, n_faces, island_padding, caps[:3],
+        )  # (Fb, 3, 2) uint16
+
+        # world positions for the material query: world = rotated @ rot
+        rp_cf = jnp.stack(rp)  # (3, Nv) rotated
+        world = rot.T @ rp_cf  # (3, Nv)
+        pos_v = [world[0], world[1], world[2]]
+
+        uvf = uv_q.astype(jnp.float32) / 65535.0
+        uc = (uvf[:, 0, 0], uvf[:, 1, 0], uvf[:, 2, 0])
+        vc = (uvf[:, 0, 1], uvf[:, 1, 1], uvf[:, 2, 1])
+        albedo_img, bump_img, mask, bake_counters = self._bake_core(
+            scene_code, uc, vc, pos_v, fa, fb, fc, res, caps[3], caps[4]
+        )
+
+        # device quantization (float32_to_uint8 semantics): albedo plain,
+        # bump dithered over covered texels only
+        albedo_u8 = jnp.clip(
+            jnp.clip(albedo_img, 0.0, 1.0) * 255.0 + 0.5, 0.0, 255.0
+        ).astype(jnp.uint8)
+        noise = (
+            jax.random.uniform(jax.random.PRNGKey(0), bump_img.shape) - 0.5
+        ) / 255.0
+        bump_d = jnp.clip(bump_img + noise * mask[None, :, :], 0.0, 1.0)
+        bump_u8 = jnp.clip(bump_d * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
+
+        uv_lo = (uv_q & jnp.uint16(0xFF)).astype(jnp.uint8)
+        uv_hi = (uv_q >> jnp.uint16(8)).astype(jnp.uint8)
+        uv_bytes = jnp.stack([uv_lo, uv_hi], axis=-1).reshape(-1)  # le u16
+
+        counters = jnp.concatenate(
+            [unwrap_counters, bake_counters]
+        ).astype(jnp.uint32)
+        count_bytes = jnp.stack(
+            [(counters >> (8 * b)) & 0xFF for b in range(4)], axis=1
+        ).reshape(-1).astype(jnp.uint8)
+        rm_q = jnp.clip(jnp.round(rm * 65535.0), 0, 65535).astype(jnp.uint32)
+        rm_bytes = jnp.stack(
+            [rm_q & 0xFF, (rm_q >> 8) & 0xFF], axis=1
+        ).reshape(-1).astype(jnp.uint8)
+
+        return jnp.concatenate(
+            [
+                albedo_u8.reshape(-1),
+                bump_u8.reshape(-1),
+                uv_bytes,
+                count_bytes,
+                rm_bytes,
+            ]
+        )
+
+    def unwrap_bake(
+        self,
+        v_pos: np.ndarray,
+        v_nrm: np.ndarray,
+        faces: np.ndarray,
+        scene_code,
+        global_dict,
+        bake_resolution: int,
+        island_padding: float = 0.02,
+    ):
+        """Fused device unwrap + bake for a (non-duplicated) mesh. Returns
+        (uv_flat (F, 3, 2) f32, texture dict as in ``bake_textures``). ONE
+        u16-quantized upload, ONE uint8 fetch; raster capacity overflows are
+        detected from the wire counters and retried, never truncated."""
+        from sculptmate_tpu.geometry.texture_bake import (
+            _PAIR2_CHUNK,
+            _PAIR_CHUNK,
+            default_multi_capacity,
+            default_pair2_capacity,
+            default_pair_capacity,
+        )
+        from sculptmate_tpu.geometry.uv_unwrap import _main_axis_rotation
+        from sculptmate_tpu.geometry.uv_unwrap_device import RASTER_RES
+        from sculptmate_tpu.ops import size_bucket
+
+        import os
+        import time as _time
+
+        prof = bool(os.environ.get("SCULPTMATE_BAKE_PROFILE"))
+        t0 = _time.perf_counter()
+
+        v_pos = np.asarray(v_pos, np.float32)
+        v_nrm = np.asarray(v_nrm, np.float32)
+        faces = np.asarray(faces)
+        # host keeps only the 3x3 PCA rotation; rotated = v @ rot.T goes up
+        # quantized, world positions are recovered on device via rot
+        rot = _main_axis_rotation(v_pos)
+        rp = v_pos @ rot.T
+        rn = v_nrm @ rot.T
+
+        nv, nf = len(v_pos), len(faces)
+        nb, fb_ = size_bucket(nv), size_bucket(nf)
+
+        bb_min = rp.min(axis=0) if nv else np.zeros(3, np.float32)
+        bb_max = rp.max(axis=0) if nv else np.ones(3, np.float32)
+        bb_rng = np.maximum(bb_max - bb_min, 1e-12)
+        attrs = np.zeros((6, nb), np.uint16)
+        attrs[0:3, :nv] = np.round((rp - bb_min) / bb_rng * 65535.0).astype(
+            np.uint16
+        ).T
+        attrs[3:6, :nv] = np.round(
+            (np.clip(rn, -1.0, 1.0) + 1.0) * 0.5 * 65535.0
+        ).astype(np.uint16).T
+
+        fcomp = np.zeros((3, fb_), np.int32)
+        fcomp[:, :nf] = faces.T
+
+        rm_bbox_rot = np.concatenate(
+            [
+                np.asarray(
+                    [
+                        float(np.asarray(global_dict["decoder_roughness"]).reshape(())),
+                        float(np.asarray(global_dict["decoder_metallic"]).reshape(())),
+                    ],
+                    np.float32,
+                ),
+                bb_min.astype(np.float32),
+                bb_max.astype(np.float32),
+                rot.astype(np.float32).reshape(-1),
+            ]
+        )
+
+        u_pair = 1 << max(16, int(4 * fb_ - 1).bit_length())
+        u_pair2 = default_pair2_capacity(RASTER_RES)
+        u_multi = default_multi_capacity(u_pair)
+        b_pair = (
+            default_pair_capacity(nf)
+            if bake_resolution % texture_bake.TILE2 == 0
+            else 0
+        )
+        b_pair2 = default_pair2_capacity(bake_resolution)
+
+        res = bake_resolution
+        if prof:
+            print(f"[unwrap_bake] host prep: {(_time.perf_counter()-t0)*1e3:.0f} ms")
+            t0 = _time.perf_counter()
+        args = (
+            scene_code,
+            jnp.asarray(attrs),
+            jnp.asarray(fcomp[0]),
+            jnp.asarray(fcomp[1]),
+            jnp.asarray(fcomp[2]),
+            jnp.asarray(rm_bbox_rot),
+            jnp.asarray([nv, nf], jnp.int32),
+        )
+        while True:
+            wire = np.asarray(
+                self._unwrap_bake_jit(
+                    *args, res, float(island_padding),
+                    (u_pair, u_pair2, u_multi, b_pair, b_pair2),
+                )
+            )  # ONE fetch for uvs + textures
+            tail = wire[-28:]
+            counters = (
+                tail[:24].reshape(6, 4).astype(np.uint32)
+                @ (np.uint32(1) << np.arange(0, 32, 8, dtype=np.uint32))
+            )
+            uw_fine, uw_coarse, uw_multi, bk_fine, bk_coarse, bk_multi = (
+                int(x) for x in counters
+            )
+            ok = True
+            if uw_fine > u_pair or uw_coarse > u_pair2 or uw_multi > u_multi:
+                ok = False
+                if uw_fine > u_pair:
+                    u_pair = -(-2 * max(u_pair, uw_fine) // _PAIR_CHUNK) * _PAIR_CHUNK
+                if uw_coarse > u_pair2:
+                    u_pair2 = (
+                        -(-2 * max(u_pair2, uw_coarse) // _PAIR2_CHUNK) * _PAIR2_CHUNK
+                    )
+                if uw_multi > u_multi:
+                    u_multi = 2 * max(u_multi, uw_multi)
+            if b_pair > 0:
+                bcap_multi = default_multi_capacity(b_pair)
+                if bk_fine > b_pair or bk_coarse > b_pair2 or bk_multi > bcap_multi:
+                    ok = False
+                    if bk_fine > b_pair:
+                        b_pair = (
+                            -(-2 * max(b_pair, bk_fine) // _PAIR_CHUNK) * _PAIR_CHUNK
+                        )
+                    if bk_coarse > b_pair2:
+                        b_pair2 = (
+                            -(-2 * max(b_pair2, bk_coarse) // _PAIR2_CHUNK)
+                            * _PAIR2_CHUNK
+                        )
+                    if bk_multi > bcap_multi:
+                        pc = _PAIR_CHUNK
+                        b_pair = max(b_pair, -(-64 * 2 * bk_multi // pc) * pc)
+            if ok:
+                break
+
+        if prof:
+            print(f"[unwrap_bake] jit+fetch: {(_time.perf_counter()-t0)*1e3:.0f} ms")
+            t0 = _time.perf_counter()
+        n_img = 3 * res * res
+        albedo_u8 = wire[:n_img].reshape(3, res, res).transpose(1, 2, 0)
+        bump_u8 = wire[n_img : 2 * n_img].reshape(3, res, res).transpose(1, 2, 0)
+        uv_sec = wire[2 * n_img : 2 * n_img + 12 * fb_]
+        uv16 = (
+            uv_sec.reshape(fb_, 3, 2, 2).astype(np.uint16)[..., 0]
+            | (uv_sec.reshape(fb_, 3, 2, 2).astype(np.uint16)[..., 1] << np.uint16(8))
+        )[:nf]
+        uv_flat = uv16.astype(np.float32) / 65535.0  # (F, 3, 2)
+        rm_b = tail[24:28].astype(np.uint32)
+        roughness = float((rm_b[0] | (rm_b[1] << np.uint32(8))) / 65535.0)
+        metallic = float((rm_b[2] | (rm_b[3] << np.uint32(8))) / 65535.0)
+
+        albedo_np = albedo_u8.astype(np.float32) / 255.0
+        bump_np = bump_u8.astype(np.float32) / 255.0
+
+        def png_bytes(arr_u8):
+            from PIL import Image
+
+            buf = io.BytesIO()
+            # compress_level 1: ~4x faster on the single host core than the
+            # zlib-6 default, marginally larger files
+            Image.fromarray(arr_u8).save(buf, format="PNG", compress_level=1)
+            return buf.getvalue()
+
+        mr = np.zeros_like(albedo_u8)
+        mr[..., 1] = int(np.clip(roughness, 0, 1) * 255)
+        mr[..., 2] = int(np.clip(metallic, 0, 1) * 255)
+
+        textures = {
+            "textures": {"albedo": albedo_np, "bump": bump_np},
+            "texture_pngs": {
+                "baseColor": png_bytes(albedo_u8),
+                "normal": png_bytes(bump_u8),
+                "metallicRoughness": png_bytes(mr),
+            },
+            "roughness": roughness,
+            "metallic": metallic,
+        }
+        if prof:
+            print(f"[unwrap_bake] decode+png: {(_time.perf_counter()-t0)*1e3:.0f} ms")
+        return uv_flat, textures
 
     def bake_textures(
         self, mesh: Mesh, scene_code, global_dict, bake_resolution: int
@@ -702,7 +1041,9 @@ class SF3D:
             from PIL import Image
 
             buf = io.BytesIO()
-            Image.fromarray(arr_u8).save(buf, format="PNG")
+            # compress_level 1: ~4x faster on the single host core than the
+            # zlib-6 default, marginally larger files
+            Image.fromarray(arr_u8).save(buf, format="PNG", compress_level=1)
             return buf.getvalue()
 
         # metallicRoughness texture per glTF: G=roughness, B=metallic

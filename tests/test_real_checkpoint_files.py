@@ -1,0 +1,311 @@
+"""Real-format checkpoint FILE rehearsal + full-size composed parity.
+
+Round-2 verdict #3: nothing had ever round-tripped an OmegaConf
+``config.yaml`` + ``torch.save``'d ckpt / safetensors FILE through
+``load_tsr_checkpoint`` / ``load_sf3d_checkpoint``, and numerical parity was
+only proven module-level at small configs. These tests:
+
+1. instantiate the FULL reference systems from their shipped configs
+   (``/root/reference/TripoSR/checkpoints/config.yaml``,
+   ``/root/reference/StableFast/checkpoints/config.yaml``) with random torch
+   weights,
+2. save real-format artifacts (``torch.save`` ckpt / safetensors),
+3. run the repo's real FILE loaders on them,
+4. compare full-size composed outputs — reference ``TSR.forward`` +
+   ``query_triplane`` (``tsr/system.py:82-115``, ``nerf_renderer.py:41-91``)
+   and SF3D ``get_scene_codes`` + triplane query
+   (``sf3d/system.py:200-233,170-198``) — against this repo's jitted
+   full-size paths in fp32,
+5. finish with a mesh-level check: this repo's device marching cubes vs the
+   reference's skimage path (``tsr/models/isosurface.py:41-54``) on the SAME
+   density field.
+
+Full size is the point: 768-d ViT-B -> 16x1024 backbone -> 120-d NeRF MLP;
+DINOv2-large -> 27648-token two-stream. Runs are single-threaded CPU and
+slow (~minutes each) by design.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from reference_modules import add_reference_paths  # noqa: E402
+
+add_reference_paths()
+
+
+def _extend_omegaconf_stub():
+    """Give the omegaconf stub load/resolve so the reference's REAL
+    ``from_pretrained`` path (``tsr/system.py:51-66``) runs unmodified."""
+    from sculptmate_tpu.config import load_yaml_config
+
+    mod = sys.modules["omegaconf"]
+    if not hasattr(mod.OmegaConf, "load"):
+        mod.OmegaConf.load = staticmethod(load_yaml_config)
+        mod.OmegaConf.resolve = staticmethod(lambda cfg: None)
+
+
+_extend_omegaconf_stub()
+
+TSR_CFG = "/root/reference/TripoSR/checkpoints/config.yaml"
+SF3D_CFG = "/root/reference/StableFast/checkpoints/config.yaml"
+
+
+def _seed_torch(module, seed=0):
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in module.parameters():
+            # small weights keep 16-deep compositions in a sane fp32 range
+            p.copy_(torch.randn(p.shape, generator=g) * 0.02)
+        for b in module.buffers():
+            if b.dtype.is_floating_point and b.ndim > 0 and "mean" not in str(b.dtype):
+                pass
+    return module
+
+
+@pytest.mark.slow
+def test_tsr_real_ckpt_file_and_fullsize_composed_parity(tmp_path):
+    """config.yaml + torch.save'd model.ckpt -> load_tsr_checkpoint ->
+    full-size composed forward/query parity + mesh-level MC check."""
+    from tsr.system import TSR as RefTSR
+
+    ref = RefTSR.from_pretrained  # noqa: F841 (reachability)
+    from sculptmate_tpu.runtime.checkpoint import load_tsr_checkpoint
+    from sculptmate_tpu.systems.tsr import TSR, TSRConfig
+
+    # -- reference system straight from the shipped config ----------------
+    cfg = sys.modules["omegaconf"].OmegaConf.load(TSR_CFG)
+    ref_model = RefTSR(cfg).eval()
+    _seed_torch(ref_model)
+
+    # -- real-format artifact + the real file loaders ----------------------
+    ckpt_dir = tmp_path / "ckpt"
+    ckpt_dir.mkdir()
+    import shutil
+
+    shutil.copy(TSR_CFG, ckpt_dir / "config.yaml")
+    torch.save(ref_model.state_dict(), ckpt_dir / "model.ckpt")
+
+    # the reference's own loading path must accept the artifact too
+    ref_loaded = RefTSR.from_pretrained(
+        str(ckpt_dir), config_name="config.yaml", weight_name="model.ckpt"
+    ).eval()
+
+    params = load_tsr_checkpoint(str(ckpt_dir / "model.ckpt"))
+    ours = TSR(TSRConfig.from_yaml(str(ckpt_dir / "config.yaml")),
+               params=params, dtype=jnp.float32)
+
+    # -- full-size composed forward (512^2 image -> scene codes) ----------
+    rng = np.random.default_rng(0)
+    img = rng.random((1, 512, 512, 3), np.float32)
+    with torch.no_grad():
+        ref_codes = (
+            ref_loaded.forward(torch.from_numpy(img).permute(0, 3, 1, 2))
+            .numpy()
+        )
+    got_codes = np.asarray(ours.scene_codes(jnp.asarray(img)))
+    assert got_codes.shape == ref_codes.shape == (1, 3, 40, 64, 64)
+    # fp32 full-width composition: compare with a scale-aware tolerance
+    scale = np.abs(ref_codes).mean()
+    assert np.abs(got_codes - ref_codes).max() < 5e-3 * max(scale, 1.0) + 5e-4, (
+        np.abs(got_codes - ref_codes).max(), scale,
+    )
+
+    # -- composed density query at identical world positions ---------------
+    pts = (rng.random((4096, 3), np.float32) * 2 - 1) * 0.8 * 0.87
+    with torch.no_grad():
+        ref_out = ref_loaded.renderer.query_triplane(
+            ref_loaded.decoder,
+            torch.from_numpy(pts),
+            torch.from_numpy(ref_codes[0]),
+        )
+        ref_density = ref_out["density_act"].numpy().reshape(-1)
+    from sculptmate_tpu.ops.density_grid import (
+        mlp_weights_from_params,
+        query_triplane_points,
+    )
+
+    weights = mlp_weights_from_params(ours.params["decoder"]["layers"])
+    got = query_triplane_points(
+        jnp.asarray(got_codes[0]), weights,
+        jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1]), jnp.asarray(pts[:, 2]),
+        ours.grid_spec(64),
+    )
+    got_density = np.asarray(got["density_act"]).reshape(-1)
+    np.testing.assert_allclose(got_density, ref_density, rtol=5e-3, atol=5e-4)
+
+    # -- mesh-level: our device MC vs the reference's skimage path on the
+    # -- SAME field (tsr/models/isosurface.py:41-54 semantics) -------------
+    from skimage import measure
+
+    from sculptmate_tpu.geometry.marching_cubes import marching_cubes_host
+
+    R = 64
+    dens = np.asarray(
+        jax.jit(
+            lambda c: __import__(
+                "sculptmate_tpu.ops.density_grid", fromlist=["query_density_grid"]
+            ).query_density_grid(c, weights, ours.grid_spec(R))
+        )(jnp.asarray(got_codes[0]))
+    )
+    thr = float(np.quantile(dens, 0.98))
+    v_ref, f_ref, _, _ = measure.marching_cubes(-(dens - thr), 0.0)
+    v_got, f_got = marching_cubes_host(jnp.asarray(dens) - thr)
+    assert len(v_got) > 500
+    # same surface: every vertex of one mesh lies within a lattice cell of
+    # the other (dual-grid conventions differ; geometry must agree)
+    from scipy.spatial import cKDTree
+
+    d1 = cKDTree(v_ref).query(v_got, k=1)[0]
+    d2 = cKDTree(v_got).query(v_ref, k=1)[0]
+    assert np.quantile(d1, 0.99) < 1.0 and np.quantile(d2, 0.99) < 1.0, (
+        np.quantile(d1, 0.99), np.quantile(d2, 0.99),
+    )
+    # and comparable complexity
+    assert 0.5 < len(v_got) / max(len(v_ref), 1) < 2.0
+
+
+@pytest.mark.slow
+def test_sf3d_real_safetensors_file_and_fullsize_composed_parity(tmp_path):
+    """Shipped SF3D config + safetensors-saved random weights ->
+    load_sf3d_checkpoint -> full-size composed get_scene_codes + triplane
+    query parity (DINOv2-large + 27648-token two-stream at real widths).
+
+    The reference SF3D class itself cannot be constructed offline (its
+    tokenizer downloads facebook/dinov2-large and its estimator needs
+    open_clip; the tets npz is a missing blob), so the encoder submodules are
+    built individually from the SAME shipped config dicts and composed
+    exactly as ``sf3d/system.py:200-233`` does.
+    """
+    from safetensors.torch import save_file
+
+    import sf3d.models.tokenizers.dinov2 as dv
+    from sf3d.models.camera import LinearCameraEmbedder as RefCam
+    from sf3d.models.network import (
+        MaterialMLP as RefMaterialMLP,
+        PixelShuffleUpsampleNetwork as RefUpsample,
+    )
+    from sf3d.models.tokenizers.image import DINOV2SingleImageTokenizer as RefTok
+    from sf3d.models.tokenizers.triplane import (
+        TriplaneLearnablePositionalEmbedding as RefTriplane,
+    )
+    from sf3d.models.transformers.backbone import (
+        TwoStreamInterleaveTransformer as RefBackbone,
+    )
+
+    from sculptmate_tpu.config import load_yaml_config
+    from sculptmate_tpu.runtime.checkpoint import load_sf3d_checkpoint
+    from sculptmate_tpu.systems.sf3d import SF3D, SF3DConfig
+
+    y = load_yaml_config(SF3D_CFG)
+
+    # offline stand-in for Dinov2Model.from_pretrained("facebook/dinov2-large")
+    dinov2_cfg = dv.Dinov2Config(
+        hidden_size=1024, num_hidden_layers=24, num_attention_heads=16,
+        intermediate_size=4096, patch_size=14, image_size=518,
+    )
+    orig_fp = dv.Dinov2Model.from_pretrained
+    dv.Dinov2Model.from_pretrained = classmethod(
+        lambda cls, name, *a, **k: dv.Dinov2Model(dinov2_cfg)
+    )
+    try:
+        cam = RefCam(y["camera_embedder"]).eval()
+        tok = RefTok(y["image_tokenizer"]).eval()
+        tri = RefTriplane(y["tokenizer"]).eval()
+        backbone = RefBackbone(y["backbone"]).eval()
+        post = RefUpsample(y["post_processor"]).eval()
+        decoder = RefMaterialMLP(y["decoder"]).eval()
+    finally:
+        dv.Dinov2Model.from_pretrained = orig_fp
+
+    for m in (cam, tok, tri, backbone, post, decoder):
+        _seed_torch(m)
+
+    # -- real-format safetensors artifact + the real file loader -----------
+    sd = {}
+    for prefix, m in (
+        ("camera_embedder", cam), ("image_tokenizer", tok), ("tokenizer", tri),
+        ("backbone", backbone), ("post_processor", post), ("decoder", decoder),
+    ):
+        for k, v in m.state_dict().items():
+            sd[f"{prefix}.{k}"] = v.contiguous()
+    path = tmp_path / "model.safetensors"
+    save_file(sd, str(path))
+
+    params = load_sf3d_checkpoint(str(path))
+    ours = SF3D(SF3DConfig.from_yaml(SF3D_CFG), params=params, dtype=jnp.float32)
+
+    # -- composed full-size get_scene_codes (sf3d/system.py:200-233) -------
+    rng = np.random.default_rng(1)
+    img = rng.random((1, 512, 512, 3), np.float32)
+    from sculptmate_tpu.models.camera import default_cond_c2w, intrinsic_from_fov_deg
+
+    c2w = np.asarray(default_cond_c2w(1.6), np.float32)[None]
+    _, Kn = intrinsic_from_fov_deg(40.0, 512, 512)
+    Kn = np.asarray(Kn, np.float32)[None]
+
+    with torch.no_grad():
+        cond = {
+            "c2w_cond": torch.from_numpy(c2w)[:, None],
+            "intrinsic_normed_cond": torch.from_numpy(Kn)[:, None],
+        }
+        camera_embeds = cam(**cond)
+        image_tokens = tok(
+            torch.from_numpy(img).permute(0, 3, 1, 2)[:, None],
+            modulation_cond=camera_embeds,
+        )
+        image_tokens = image_tokens.squeeze(1).permute(0, 2, 1)  # B (Nv Nt) C
+        tokens = tri(1)
+        tokens = backbone(
+            tokens, encoder_hidden_states=image_tokens, modulation_cond=None
+        )
+        direct_codes = tri.detokenize(tokens)
+        ref_codes = post(direct_codes).numpy()
+
+    got_codes, got_direct = ours.get_scene_codes(jnp.asarray(img))
+    got_codes = np.asarray(got_codes)
+    assert got_codes.shape == ref_codes.shape == (1, 3, 40, 384, 384)
+    scale = np.abs(ref_codes).mean()
+    assert np.abs(got_codes - ref_codes).max() < 5e-3 * max(scale, 1.0) + 5e-4, (
+        np.abs(got_codes - ref_codes).max(), scale,
+    )
+
+    # -- composed triplane query + MaterialMLP heads (system.py:170-198) ---
+    pts = (rng.random((2048, 3), np.float32) * 2 - 1) * 0.8 * 0.87
+    with torch.no_grad():
+        pos = torch.from_numpy(pts)
+        scaled = pos / 0.87  # scale_tensor (-radius, radius) -> (-1, 1)
+        idx2d = torch.stack(
+            (scaled[:, [0, 1]], scaled[:, [0, 2]], scaled[:, [1, 2]]), dim=0
+        )
+        import torch.nn.functional as F
+
+        sampled = F.grid_sample(
+            torch.from_numpy(ref_codes[0]),
+            idx2d[:, None],
+            align_corners=True,
+            mode="bilinear",
+        )  # (3, C, 1, N)
+        feats = sampled[:, :, 0].permute(2, 0, 1).reshape(len(pts), -1)
+        ref_heads = decoder(feats, include=["density", "features"])
+        ref_density = ref_heads["density"].numpy().reshape(-1)
+
+    from sculptmate_tpu.ops.density_grid import query_points_multihead
+
+    heads = ours._head_weights(["density"])
+    out = query_points_multihead(
+        jnp.asarray(got_codes[0]), heads,
+        jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1]), jnp.asarray(pts[:, 2]),
+        ours.grid_spec(),
+    )
+    # density head: out_bias -1.0 + trunc_exp (config.yaml heads)
+    got_density = np.exp(np.asarray(out["density"][0]) - 1.0).reshape(-1)
+    np.testing.assert_allclose(got_density, ref_density, rtol=5e-3, atol=5e-4)

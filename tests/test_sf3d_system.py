@@ -107,6 +107,53 @@ def test_vertex_budget(tiny_sf3d, rng):
     assert len(lo["verts"]) < len(hi["verts"])
 
 
+def test_fused_unwrap_bake_matches_staged(tiny_sf3d, rng, monkeypatch):
+    """The one-program unwrap+bake path (u16-quantized upload, uint8 wire
+    output) must agree with the staged device-unwrap + bake path: same mesh
+    dup/topology, UVs within u16 quantization, textures close on covered
+    texels (u8 quantization + u16 position/normal inputs)."""
+    from sculptmate_tpu.geometry.mesh import Mesh
+
+    img = jnp.asarray(rng.random((1, 56, 56, 4)), jnp.float32)
+    thr = _threshold_for(tiny_sf3d, img)
+    # the staged path picks the HOST unwrap on the cpu backend; pin it to
+    # the device unwrap so both paths run the same algorithm
+    orig_unwrap = Mesh.unwrap_uv
+    monkeypatch.setattr(
+        Mesh,
+        "unwrap_uv",
+        lambda self, island_padding=0.02, backend="host": orig_unwrap(
+            self, island_padding, "device"
+        ),
+    )
+    staged = tiny_sf3d.run_image(
+        img, bake_resolution=64, threshold=thr, fused=False
+    )
+    fused = tiny_sf3d.run_image(
+        img, bake_resolution=64, threshold=thr, fused=True
+    )
+    assert staged is not None and fused is not None
+    assert len(fused["verts"]) == len(staged["verts"])
+    np.testing.assert_array_equal(fused["faces"], staged["faces"])
+    np.testing.assert_allclose(fused["verts"], staged["verts"], atol=1e-6)
+    # quantized roughness/metallic
+    assert abs(fused["roughness"] - staged["roughness"]) < 2e-4
+    assert abs(fused["metallic"] - staged["metallic"]) < 2e-4
+    # UVs: same atlas layout up to the u16 input quantization shifting
+    # near-tie box/depth assignments (which cascades through the leftover
+    # square pool's packing order); demand bulk agreement
+    d = np.abs(fused["uvs"] - staged["uvs"])
+    assert (d < 1e-3).mean() > 0.85, (d < 1e-3).mean()
+    # albedo textures: compare where BOTH have coverage (island dilation +
+    # atlas differences affect edges); bulk of covered texels must match
+    a_f = fused["textures"]["albedo"]
+    a_s = staged["textures"]["albedo"]
+    both = (a_f.sum(-1) > 0) & (a_s.sum(-1) > 0)
+    if both.sum() > 100:
+        diff = np.abs(a_f - a_s).max(-1)[both]
+        assert np.quantile(diff, 0.9) < 0.1, np.quantile(diff, 0.9)
+
+
 def test_triplane_attention_full_attention_branch(rng):
     """The full_attention=True branch was unexercised and once crashed on a
     missing module field; keep a smoke forward over it."""
