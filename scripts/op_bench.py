@@ -60,7 +60,6 @@ def main():
         mlp_weights_from_params,
         query_density_grid,
     )
-    from sculptmate_tpu.ops.pallas.nerf_mlp import density_grid_pallas
 
     mlp = NeRFMLP()
     params = mlp.init(jax.random.PRNGKey(0), jnp.zeros((1, 120)))["params"]
@@ -70,7 +69,6 @@ def main():
     for dt, lbl in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
         spec = DensityGridSpec(resolution=R, compute_dtype=dt)
         timed(f"density grid XLA {lbl}", jax.jit(lambda t: query_density_grid(t, w, spec)), tri)
-        timed(f"density grid pallas {lbl}", jax.jit(lambda t: density_grid_pallas(t, w, spec)), tri)
 
     # encode
     from sculptmate_tpu.systems.tsr import TSR

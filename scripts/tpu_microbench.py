@@ -59,17 +59,6 @@ def main():
     else:
         dens = jnp.zeros((args.res,) * 3, jnp.float32)
 
-    if args.stage in ("all", "grid_pallas", "pallas"):
-        from sculptmate_tpu.ops.pallas.nerf_mlp import density_grid_pallas
-
-        spec = DensityGridSpec(resolution=args.res, compute_dtype=dtype)
-        f = jax.jit(lambda tri: density_grid_pallas(tri, weights, spec))
-        dt, dens = timed(f, codes[0])
-        qps = args.res**3 / dt
-        print(
-            f"density grid pallas {args.res}^3: {dt*1e3:.1f} ms = {qps/1e9:.2f} Gq/s"
-        )
-
     if args.stage in ("all", "mc"):
         from sculptmate_tpu.geometry.marching_cubes import marching_cubes
 

@@ -7,8 +7,8 @@
   (``sf3d/models/network.py:148-210``): shared input, per-head hidden stacks
   with per-head output activation/bias, head selection by include/exclude.
 
-Both also expose their raw weight stacks so the fused Pallas grid-query kernel
-(``sculptmate_tpu/ops/pallas/nerf_mlp.py``) can consume them directly.
+Both also expose their raw weight stacks so the fused separable grid query
+(``sculptmate_tpu/ops/density_grid.py``) can consume them directly.
 """
 
 from __future__ import annotations

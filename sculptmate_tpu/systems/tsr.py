@@ -263,18 +263,12 @@ class TSR:
         parts.append(jnp.broadcast_to(counts[None, :], (3, 4)))
         return jnp.concatenate(parts, axis=1)
 
-    @functools.partial(jax.jit, static_argnums=(0, 2, 4, 5, 6))
-    def _extract_wire_jit(
+    def _trace_wire(
         self, scene_code, resolution, threshold, max_verts, want_colors,
-        block_capacity=0,
+        block_capacity,
     ):
-        """Wire-format extraction (``geometry/marching_cubes.mc_wire_device``):
-        density grid -> occupancy bits + per-cut-edge t + uint8 colors, ONE
-        ~6 MB uint8 transfer at 256^3 (vs ~35 MB packed f32). Faces and
-        vertex ids are rebuilt on the host by ``native/mc_wire.cpp`` — the
-        tunneled D2H link (14-115 MB/s) is the lean path's bottleneck, and
-        the device-side face-table machinery (~1 s at 256^3 noise surfaces)
-        drops out entirely."""
+        """Trace-time wire extraction body shared by the standalone and the
+        fused (encode+extract) programs."""
         from sculptmate_tpu.geometry.marching_cubes import mc_wire_device
 
         weights = mlp_weights_from_params(self.params["decoder"]["layers"])
@@ -293,8 +287,109 @@ class TSR:
                 return colors[0], colors[1], colors[2]
 
         return mc_wire_device(
-            density - threshold, max_verts, block_capacity, None, color_fn
+            density - threshold, max_verts, block_capacity, None, color_fn,
+            split_colors=want_colors,
         )
+
+    @functools.partial(jax.jit, static_argnums=(0, 2, 4, 5, 6))
+    def _extract_wire_jit(
+        self, scene_code, resolution, threshold, max_verts, want_colors,
+        block_capacity=0,
+    ):
+        """Wire-format extraction (``geometry/marching_cubes.mc_wire_device``):
+        density grid -> occupancy bits + per-cut-edge t + uint8 colors, ONE
+        ~6 MB uint8 transfer at 256^3 (vs ~35 MB packed f32). Faces and
+        vertex ids are rebuilt on the host by ``native/mc_wire.cpp`` — the
+        tunneled D2H link (14-115 MB/s) is the lean path's bottleneck, and
+        the device-side face-table machinery (~1 s at 256^3 noise surfaces)
+        drops out entirely."""
+        return self._trace_wire(
+            scene_code, resolution, threshold, max_verts, want_colors,
+            block_capacity,
+        )
+
+    @functools.partial(jax.jit, static_argnums=(0, 2, 4, 5, 6))
+    def _encode_extract_wire_jit(
+        self, images, resolution, threshold, max_verts, want_colors,
+        block_capacity=0,
+    ):
+        """The WHOLE single-asset pipeline (cond image -> ViT -> backbone ->
+        upsample -> density grid -> wire-format marching cubes [+ colors]) as
+        ONE XLA program: one dispatch, one (split) fetch — dispatch round
+        trips through the tunneled runtime cost tens of ms each."""
+        codes = self.module.apply({"params": self.params}, images)
+        return self._trace_wire(
+            codes[0], resolution, threshold, max_verts, want_colors,
+            block_capacity,
+        )
+
+    def image_to_mesh(
+        self,
+        images: jnp.ndarray,
+        has_vertex_color: bool = False,
+        resolution: int = 256,
+        threshold: float = 25.0,
+        max_verts: int = 0,
+    ):
+        """Single-dispatch cond-image -> mesh: returns ONE
+        (verts, faces, colors|None) triple for a (1, S, S, 3) cond image.
+        Same capacity-retry semantics as ``extract_mesh`` (wire mode).
+
+        CAVEAT: fusing the full encoder with the extraction machinery makes
+        one very large XLA program whose FIRST compile at production sizes is
+        far slower than the two staged programs (observed ~10x on the v5e
+        remote compiler; subsequent runs hit the persistent cache). Prefer
+        ``scene_codes`` + ``extract_mesh`` unless per-dispatch latency
+        dominates your serving path and the compile is amortized."""
+        from sculptmate_tpu.geometry import mc_wire
+        from sculptmate_tpu.geometry.marching_cubes import default_block_capacity
+
+        s = self.config.cond_image_size
+        if images.shape[1] != s or images.shape[2] != s:
+            images = resize_bilinear_antialias(images, s, s)
+
+        if max_verts <= 0:
+            max_verts = 8 * resolution * resolution
+        if not hasattr(self, "_wire_cap_cache"):
+            self._wire_cap_cache = {}
+        cached = self._wire_cap_cache.get(resolution)
+        if cached is not None:
+            mv, bc = max(max_verts, cached[0]), cached[1]
+        else:
+            mv = max_verts
+            bc = default_block_capacity(resolution, mv)
+
+        shape = (resolution, resolution, resolution)
+        scale = 2 * self.config.radius / (resolution - 1.0)
+        while True:
+            fut = self._encode_extract_wire_jit(
+                images, resolution, float(threshold), mv,
+                bool(has_vertex_color), bc,
+            )
+            for part in fut if isinstance(fut, tuple) else (fut,):
+                part.copy_to_host_async()
+            split = isinstance(fut, tuple)
+            wire = np.asarray(fut[0] if split else fut)
+            nv, nblocks = (
+                int(c) for c in mc_wire.wire_counts(wire, mc_wire.N_WIRE_COUNTS)
+            )
+            if nblocks > bc:
+                bc = max(bc + 1, int(nblocks * 1.2))
+            elif nv > mv:
+                mv = max(mv, 65536 * -(-int(1.2 * nv) // 65536))
+            else:
+                break
+        bc_next = max(4096, min(bc, 4096 * -(-int(nblocks * 1.3) // 4096)))
+        self._wire_cap_cache[resolution] = (mv, bc_next)
+
+        verts, faces, _, _ = mc_wire.decode_wire(
+            wire, shape, mv, has_colors=False
+        )
+        colors = None
+        if split and nv > 0:
+            cb = np.asarray(fut[1])  # overlapped with the rebuild above
+            colors = cb.reshape(3, mv)[:, :nv].T.astype(np.float32) / 255.0
+        return verts * scale - self.config.radius, faces.astype(np.int64), colors
 
     def _color_query(self, scene_code, weights, spec, wx, wy, wz):
         """Trace-time chunked color-MLP query at world positions -> (3, N)."""
@@ -534,23 +629,31 @@ class TSR:
         else:
             mv = max_verts
             bc = default_block_capacity(resolution, mv)
+        nblocks_seen = 0
 
         def dispatch(code, mv, bc):
-            return self._extract_wire_jit(
+            res = self._extract_wire_jit(
                 code, resolution, float(threshold), mv,
                 bool(has_vertex_color), bc,
             )
+            # queue BOTH D2H copies immediately: the color bytes stream
+            # while the host decodes faces from the geometry sections
+            for part in res if isinstance(res, tuple) else (res,):
+                part.copy_to_host_async()
+            return res
 
         # pipeline: enqueue every asset's device program up front (jax
         # dispatch is async), so asset i's D2H fetch + native rebuild
         # overlaps asset i+1's device compute
         pending = [(dispatch(code, mv, bc), mv) for code in scene_codes]
 
+        scale = 2 * self.config.radius / (resolution - 1.0)
         out = []
         for i, scene_code in enumerate(scene_codes):
             while True:
                 fut, mv_used = pending[i]
-                wire = np.asarray(fut)  # ONE D2H for the whole surface
+                split = isinstance(fut, tuple)
+                wire = np.asarray(fut[0] if split else fut)
                 nv, nblocks = (
                     int(c) for c in mc_wire.wire_counts(wire, mc_wire.N_WIRE_COUNTS)
                 )
@@ -560,14 +663,26 @@ class TSR:
                 elif nv > mv_used:
                     mv = max(mv, 65536 * -(-int(1.2 * nv) // 65536))
                 else:
+                    nblocks_seen = max(nblocks_seen, nblocks)
                     break
                 pending[i] = (dispatch(scene_code, mv, bc), mv)
-            self._wire_cap_cache[resolution] = (mv, bc)
+            # block capacity directly scales the compaction row gathers and
+            # scatters (row-count-bound, ~0.75 us/row): TIGHTEN toward the
+            # observed active-block count (not just grow); an occasional
+            # bigger asset pays one retry. 4096-bucketed so capacity is a
+            # small set of compiled program variants
+            bc_next = max(4096, min(bc, 4096 * -(-int(nblocks_seen * 1.3) // 4096)))
+            self._wire_cap_cache[resolution] = (mv, bc_next)
 
-            verts, faces, colors, _ = mc_wire.decode_wire(
-                wire, shape, mv_used, has_colors=bool(has_vertex_color)
+            verts, faces, _, _ = mc_wire.decode_wire(
+                wire, shape, mv_used, has_colors=not split and bool(has_vertex_color)
             )
-            scale = 2 * self.config.radius / (resolution - 1.0)
+            colors = None
+            if split and nv > 0:
+                cb = np.asarray(fut[1])  # overlapped with the rebuild above
+                colors = (
+                    cb.reshape(3, mv_used)[:, :nv].T.astype(np.float32) / 255.0
+                )
             verts_world = verts * scale - self.config.radius
             out.append(
                 (

@@ -83,3 +83,41 @@ def test_empty_mesh(tiny_tsr, rng):
     meshes = tiny_tsr.extract_mesh(codes, resolution=16, threshold=1e9)
     verts, faces, colors = meshes[0]
     assert len(verts) == 0 and len(faces) == 0 and colors is None
+
+
+def test_image_to_mesh_matches_extract_mesh(tiny_tsr, rng):
+    """The single-dispatch fused pipeline (encode+density+wire MC in one
+    program) must reproduce the staged scene_codes -> extract_mesh wire path
+    exactly (same trace content, same decoders)."""
+    img = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
+    codes = tiny_tsr.scene_codes(img)
+
+    from sculptmate_tpu.ops.density_grid import (
+        mlp_weights_from_params,
+        query_density_grid,
+    )
+
+    w = mlp_weights_from_params(tiny_tsr.params["decoder"]["layers"])
+    d = query_density_grid(codes[0], w, tiny_tsr.grid_spec(16, slab=4))
+    thr = float(np.asarray(d).mean())
+
+    sv, sf, sc = tiny_tsr.extract_mesh(
+        codes, has_vertex_color=True, resolution=16, threshold=thr
+    )[0]
+    fv, ff, fc = tiny_tsr.image_to_mesh(
+        img, has_vertex_color=True, resolution=16, threshold=thr
+    )
+    assert len(fv) == len(sv) and len(ff) == len(sf)
+    np.testing.assert_array_equal(ff, sf)
+    # the fused program re-derives the codes inside one XLA program, so fp
+    # reassociation shifts the density field slightly -> t jitter
+    np.testing.assert_allclose(fv, sv, atol=5e-3)
+    np.testing.assert_allclose(fc, sc, atol=2e-2)
+
+
+def test_image_to_mesh_no_colors(tiny_tsr, rng):
+    img = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
+    v, f, c = tiny_tsr.image_to_mesh(img, resolution=16, threshold=0.36)
+    assert c is None
+    if len(f):
+        assert f.max() < len(v)
