@@ -70,7 +70,7 @@ def main():
     timeit("mc_wire_device (no colors)", wire_nocol, level)
 
     full = jax.jit(
-        lambda c: tsr._extract_wire_jit(c, R, thr, MV, True, BC)
+        lambda c: tsr._extract_wire_jit(c, R, thr, MV, True, BC)[0]
     )
     timeit("extract_wire (dens+verts+colors+pack)", full, code)
 
@@ -84,7 +84,9 @@ def main():
     print(f"# nv={nv}")
     for _ in range(3):
         t0 = time.perf_counter()
-        verts, faces, colors, _ = mc_wire.decode_wire(wire, (R, R, R), MV)
+        verts, faces, colors, _ = mc_wire.decode_wire(
+            wire, (R, R, R), MV, has_colors=False
+        )
         print(f"{'host rebuild (C++)':40s} {1e3*(time.perf_counter()-t0):8.1f} ms  ({len(verts)} v {len(faces)} f)")
 
 

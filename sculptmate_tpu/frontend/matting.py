@@ -35,9 +35,10 @@ class U2NetMatting:
     def __init__(self, params=None, seed: int = 0, dtype=jnp.float32):
         self.module = U2Net(dtype=dtype)
         if params is None:
+            from sculptmate_tpu.runtime.init import jitted_init
+
             dummy = jnp.zeros((1, U2NET_SIZE, U2NET_SIZE, 3), jnp.float32)
-            variables = self.module.init(jax.random.PRNGKey(seed), dummy)
-            params = variables
+            params = jitted_init(self.module, seed, dummy)
         self.variables = params
 
         @jax.jit

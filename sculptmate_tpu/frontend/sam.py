@@ -429,8 +429,10 @@ class SamSession:
             dummy_img = jnp.zeros((1, IMG_SIZE, IMG_SIZE, 3), jnp.float32)
             dummy_pts = jnp.zeros((1, 2, 2), jnp.float32)
             dummy_lbl = jnp.zeros((1, 2), jnp.int32)
-            params = self.module.init(
-                jax.random.PRNGKey(seed), dummy_img, dummy_pts, dummy_lbl
+            from sculptmate_tpu.runtime.init import jitted_init
+
+            params = jitted_init(
+                self.module, seed, dummy_img, dummy_pts, dummy_lbl
             )
         self.variables = params
         self._encode = jax.jit(

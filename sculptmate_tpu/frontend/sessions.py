@@ -41,8 +41,10 @@ class JaxSessionBase:
 
             params = try_load_session_params(weights_name)
         if params is None:
+            from sculptmate_tpu.runtime.init import jitted_init
+
             dummy = jnp.zeros((1, *self.input_size, 3), jnp.float32)
-            params = self.module.init(jax.random.PRNGKey(seed), dummy)
+            params = jitted_init(self.module, seed, dummy)
         self.variables = params
         self._predict = jax.jit(self._predict_fn)
 

@@ -234,11 +234,10 @@ class SF3D:
             dummy_img = jnp.zeros((1, c.cond_image_size, c.cond_image_size, 3), jnp.float32)
             dummy_c2w = jnp.zeros((1, 4, 4), jnp.float32)
             dummy_k = jnp.zeros((1, 3, 3), jnp.float32)
-            params = self.module.init(
-                jax.random.PRNGKey(seed),
-                dummy_img,
-                dummy_c2w,
-                dummy_k,
+            from sculptmate_tpu.runtime.init import jitted_init
+
+            params = jitted_init(
+                self.module, seed, dummy_img, dummy_c2w, dummy_k,
                 method=SF3DModule.init_all,
             )["params"]
         self.params = params

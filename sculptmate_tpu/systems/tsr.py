@@ -175,8 +175,10 @@ class TSR:
                 (1, self.config.cond_image_size, self.config.cond_image_size, 3),
                 jnp.float32,
             )
-            params = self.module.init(
-                jax.random.PRNGKey(seed), dummy, method=TSRModule.init_all
+            from sculptmate_tpu.runtime.init import jitted_init
+
+            params = jitted_init(
+                self.module, seed, dummy, method=TSRModule.init_all
             )["params"]
         self.params = params
         self._forward = jax.jit(
