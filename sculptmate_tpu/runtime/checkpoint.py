@@ -507,17 +507,11 @@ def convert_u2net_onnx(path: str) -> Optional[Dict]:
 
     ONNX initializer names follow the torch module names of the original
     U-2-Net repo (stage1.rebnconvin.conv_s1.weight, ...bn_s1.running_mean...).
-    Returns None if the onnx package is unavailable.
+    Uses the onnx package when present, else the built-in wire-format reader
+    (``runtime/onnx_lite.py``).
     """
-    try:
-        import onnx
-        from onnx import numpy_helper
-    except ImportError:
-        return None
-
-    model = onnx.load(path)
-    sd = {init.name: numpy_helper.to_array(init) for init in model.graph.initializer}
-    return convert_u2net_state_dict(sd)
+    sd = _onnx_initializers(path)
+    return None if sd is None else convert_u2net_state_dict(sd)
 
 
 def convert_u2net_state_dict(sd: Dict[str, Any]) -> Dict:
@@ -602,7 +596,11 @@ def _onnx_initializers(path: str) -> Optional[Dict[str, Any]]:
         import onnx
         from onnx import numpy_helper
     except ImportError:
-        return None
+        # built-in wire-format reader: weight extraction must not require
+        # the onnx wheel (Blender installs rarely have it)
+        from sculptmate_tpu.runtime.onnx_lite import read_initializers
+
+        return read_initializers(path)
     model = onnx.load(path)
     return {i.name: numpy_helper.to_array(i) for i in model.graph.initializer}
 

@@ -44,7 +44,43 @@ def _install_omegaconf_stub() -> None:
 
         @staticmethod
         def merge(base, cfg=None):
+            # real OmegaConf structures nested dataclass fields: a YAML list
+            # under a List[HeadSpec] field becomes HeadSpec instances with
+            # dataclass DEFAULTS applied (e.g. out_bias=0.0 —
+            # sf3d/models/network.py:140-145). Mirror that for dataclass,
+            # Optional[dataclass], and List[dataclass] targets.
+            import typing
+
+            try:
+                hints = typing.get_type_hints(type(base))
+            except Exception:
+                hints = {}
+
+            def build(dc, d):
+                names = {f.name for f in dataclasses.fields(dc)}
+                return dc(**{k: v for k, v in dict(d).items() if k in names})
+
             for k, v in dict(cfg or {}).items():
+                t = hints.get(k)
+                if t is not None:
+                    origin = typing.get_origin(t)
+                    args = typing.get_args(t)
+                    if (
+                        origin is list
+                        and args
+                        and dataclasses.is_dataclass(args[0])
+                        and isinstance(v, list)
+                    ):
+                        v = [
+                            build(args[0], e) if isinstance(e, dict) else e
+                            for e in v
+                        ]
+                    elif dataclasses.is_dataclass(t) and isinstance(v, dict):
+                        v = build(t, v)
+                    elif origin is typing.Union and isinstance(v, dict):
+                        dcs = [a for a in args if dataclasses.is_dataclass(a)]
+                        if dcs:
+                            v = build(dcs[0], v)
                 setattr(base, k, v)
             return base
 
@@ -53,9 +89,36 @@ def _install_omegaconf_stub() -> None:
     sys.modules["omegaconf"] = mod
 
 
+def _install_skimage_stub() -> None:
+    """The reference's ``tsr/models/isosurface.py`` imports skimage at module
+    level; this environment has no skimage. The stub keeps the import working
+    and raises ModuleNotFoundError only if actually CALLED — callers fall back
+    to an independent oracle (e.g. this repo's marching tets)."""
+    if "skimage" in sys.modules:
+        return
+    mod = types.ModuleType("skimage")
+    measure = types.ModuleType("skimage.measure")
+
+    def marching_cubes(*a, **k):
+        raise ModuleNotFoundError("skimage not installed (import-time stub)")
+
+    measure.marching_cubes = marching_cubes
+    mod.measure = measure
+    sys.modules["skimage"] = mod
+    sys.modules["skimage.measure"] = measure
+
+
 def add_reference_paths() -> None:
     """Make ``import tsr.*`` / ``import sf3d.*`` resolve to /root/reference."""
     _install_omegaconf_stub()
+    _install_skimage_stub()
+    # the reference's tsr/system.py imports bpy at module level (it exports
+    # straight into Blender); outside Blender install the fake-bpy stub the
+    # addon tests already use
+    if "bpy" not in sys.modules:
+        import fake_bpy
+
+        fake_bpy.install()
     # sf3d/models/utils.py does ``import PIL`` then references ``PIL.Image``,
     # which only resolves if PIL.Image was imported somewhere first
     import PIL.Image  # noqa: F401

@@ -60,14 +60,26 @@ SF3D_CFG = "/root/reference/StableFast/checkpoints/config.yaml"
 
 
 def _seed_torch(module, seed=0):
+    """Random weights with ~unit signal gain per layer.
+
+    A uniform 0.02 scale attenuates the signal ~3x per matmul (and 50x per
+    0.02-scale LayerNorm gamma): through the 10-layer NeRF MLP the composed
+    density field collapses to a CONSTANT below f32 resolution — no
+    isosurface, so the mesh-level check would be vacuous. Fan-in scaling for
+    matrices + near-1 norm gains keep the full-size composition
+    non-degenerate while still randomizing every converted tensor."""
     g = torch.Generator().manual_seed(seed)
     with torch.no_grad():
-        for p in module.parameters():
-            # small weights keep 16-deep compositions in a sane fp32 range
-            p.copy_(torch.randn(p.shape, generator=g) * 0.02)
-        for b in module.buffers():
-            if b.dtype.is_floating_point and b.ndim > 0 and "mean" not in str(b.dtype):
-                pass
+        for name, p in module.named_parameters():
+            r = torch.randn(p.shape, generator=g)
+            if p.ndim >= 2:
+                fan_in = p.shape[1:].numel()
+                p.copy_(r / float(fan_in) ** 0.5)
+            elif p.ndim == 1 and name.endswith("weight"):
+                # norm gains / 1-d scales: near identity, still random
+                p.copy_(1.0 + 0.05 * r)
+            else:
+                p.copy_(0.02 * r)
     return module
 
 
@@ -107,10 +119,9 @@ def test_tsr_real_ckpt_file_and_fullsize_composed_parity(tmp_path):
     rng = np.random.default_rng(0)
     img = rng.random((1, 512, 512, 3), np.float32)
     with torch.no_grad():
-        ref_codes = (
-            ref_loaded.forward(torch.from_numpy(img).permute(0, 3, 1, 2))
-            .numpy()
-        )
+        # reference forward takes BHWC (ImagePreprocessor permutes internally,
+        # tsr/utils.py:83) and a device string (tsr/system.py:82-96)
+        ref_codes = ref_loaded.forward(torch.from_numpy(img), "cpu").numpy()
     got_codes = np.asarray(ours.scene_codes(jnp.asarray(img)))
     assert got_codes.shape == ref_codes.shape == (1, 3, 40, 64, 64)
     # fp32 full-width composition: compare with a scale-aware tolerance
@@ -157,7 +168,21 @@ def test_tsr_real_ckpt_file_and_fullsize_composed_parity(tmp_path):
         )(jnp.asarray(got_codes[0]))
     )
     thr = float(np.quantile(dens, 0.98))
-    v_ref, f_ref, _, _ = measure.marching_cubes(-(dens - thr), 0.0)
+    mt_oracle = False
+    try:
+        v_ref, f_ref, _, _ = measure.marching_cubes(-(dens - thr), 0.0)
+    except ModuleNotFoundError:
+        mt_oracle = True
+        # no skimage in this env: cross-check against this repo's
+        # INDEPENDENT marching-tets implementation on the same field
+        # (different algorithm/tables; both approximate the same isosurface
+        # within a lattice cell, which is exactly the tolerance below)
+        from sculptmate_tpu.geometry.marching_tets import marching_tets_host
+
+        v_ref, f_ref = marching_tets_host(
+            (dens - thr).ravel(), None, R - 1
+        )
+        v_ref = v_ref * (R - 1)  # [0,1] -> lattice coords
     v_got, f_got = marching_cubes_host(jnp.asarray(dens) - thr)
     assert len(v_got) > 500
     # same surface: every vertex of one mesh lies within a lattice cell of
@@ -169,8 +194,13 @@ def test_tsr_real_ckpt_file_and_fullsize_composed_parity(tmp_path):
     assert np.quantile(d1, 0.99) < 1.0 and np.quantile(d2, 0.99) < 1.0, (
         np.quantile(d1, 0.99), np.quantile(d2, 0.99),
     )
-    # and comparable complexity
-    assert 0.5 < len(v_got) / max(len(v_ref), 1) < 2.0
+    # and comparable complexity: MC-vs-MC should be ~1:1; the marching-tets
+    # oracle splits each cube into 6 tets and emits ~2-3x the vertices
+    ratio = len(v_got) / max(len(v_ref), 1)
+    if mt_oracle:
+        assert 0.15 < ratio < 1.2, ratio
+    else:
+        assert 0.5 < ratio < 2.0, ratio
 
 
 @pytest.mark.slow
@@ -185,8 +215,6 @@ def test_sf3d_real_safetensors_file_and_fullsize_composed_parity(tmp_path):
     built individually from the SAME shipped config dicts and composed
     exactly as ``sf3d/system.py:200-233`` does.
     """
-    from safetensors.torch import save_file
-
     import sf3d.models.tokenizers.dinov2 as dv
     from sf3d.models.camera import LinearCameraEmbedder as RefCam
     from sf3d.models.network import (
@@ -230,15 +258,24 @@ def test_sf3d_real_safetensors_file_and_fullsize_composed_parity(tmp_path):
         _seed_torch(m)
 
     # -- real-format safetensors artifact + the real file loader -----------
-    sd = {}
+    # the reference's image_tokenizer ALIASES its AdaLN Modulation modules
+    # (ModuleList `modulations` + in-layer norm1/norm2_modulation,
+    # tokenizers/image.py:35-51), so a raw save_file refuses the shared
+    # tensors; the shipped blob necessarily went through save_model-style
+    # dedup, which keeps the lexicographically-first alias — the in-layer
+    # `model.encoder.layer.N.normX_modulation` names. Reproduce that.
+    import torch.nn as nn
+
+    container = nn.Module()
     for prefix, m in (
         ("camera_embedder", cam), ("image_tokenizer", tok), ("tokenizer", tri),
         ("backbone", backbone), ("post_processor", post), ("decoder", decoder),
     ):
-        for k, v in m.state_dict().items():
-            sd[f"{prefix}.{k}"] = v.contiguous()
+        setattr(container, prefix, m)
     path = tmp_path / "model.safetensors"
-    save_file(sd, str(path))
+    from safetensors.torch import save_model
+
+    save_model(container, str(path))
 
     params = load_sf3d_checkpoint(str(path))
     ours = SF3D(SF3DConfig.from_yaml(SF3D_CFG), params=params, dtype=jnp.float32)
