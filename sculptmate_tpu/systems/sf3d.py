@@ -477,11 +477,21 @@ class SF3D:
             # uint8 fetch) — the staged path pays ~2x the transfers plus two
             # dispatch round trips
             with stage("unwrap_bake"):
+                import os as _os
+                import time as _t
+
+                _prof = bool(_os.environ.get("SCULPTMATE_BAKE_PROFILE"))
                 uv_flat, textures = self.unwrap_bake(
                     mesh.v_pos, mesh.v_nrm, mesh.t_pos_idx, scene_codes[0],
                     global_dict, bake_resolution,
                 )
+                _t0 = _t.perf_counter()
                 mesh.apply_flat_uv(uv_flat)
+                if _prof:
+                    print(
+                        f"[unwrap_bake] apply_flat_uv: "
+                        f"{(_t.perf_counter()-_t0)*1e3:.0f} ms"
+                    )
             out: Dict[str, Any] = {
                 "verts": mesh.v_pos,
                 "faces": mesh.t_pos_idx,
@@ -666,22 +676,32 @@ class SF3D:
         )
 
     # ------------------------------------------------------------------
-    @functools.partial(jax.jit, static_argnums=(0, 8, 9, 10))
+    @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7))
     def _unwrap_bake_jit(
-        self, scene_code, attrs_u16, fa, fb, fc, rm_bbox_rot, n_counts,
-        bake_resolution, island_padding, caps,
+        self, scene_code, packed_u16, nb, fbk, bake_resolution,
+        island_padding, caps,
     ):
-        """UV unwrap + texture bake as ONE device program, ONE compact uint8
-        output (no host round trip between the stages; round 2 spent ~3.3 s
-        there, most of it tunnel transfers + per-stage dispatch latency).
+        """UV unwrap + texture bake as ONE device program, ONE u16 input and
+        ONE compact uint8 output (no host round trip between the stages;
+        round 2 spent ~3.3 s there, and each extra device_put pays the
+        tunnel's 30-500 ms fluctuating latency — hence a SINGLE packed
+        upload).
 
-        Inputs: ``attrs_u16`` (6, Nvb) u16 — PCA-ROTATED positions quantized
-        over their bbox (rows 0-2) + vertex normals quantized over [-1, 1]
-        (rows 3-5); ``rm_bbox_rot`` (17,) f32 = [roughness, metallic,
-        bbox_min(3), bbox_max(3), rot(9 row-major)] where ``rot`` is the host
-        PCA rotation (world = rotated @ rot); ``n_counts`` (2,) i32 =
-        (n_verts, n_faces); ``caps`` = (unwrap_pair, unwrap_pair2,
-        unwrap_multi, bake_pair, bake_pair2) static capacities.
+        ``packed_u16`` layout (``nb``/``fbk`` = size-bucketed vertex/face
+        counts, static):
+          [0 : 6*nb]           attrs (6, nb) — PCA-ROTATED positions
+                               quantized over their bbox (rows 0-2) + vertex
+                               normals quantized over [-1, 1] (rows 3-5)
+          [6*nb : 6*nb+6*fbk]  faces (6, fbk) — rows 0-2 = lo16 of fa/fb/fc,
+                               rows 3-5 = hi16 (arithmetic recombine, no
+                               bitcast -> no denormal hazard)
+          [-38 : -4]           17 f32 [roughness, metallic, bbox_min(3),
+                               bbox_max(3), rot(9 row-major)] bit-split into
+                               (lo16, hi16) pairs; reconstructed by u32
+                               bitcast (values are normal floats or 0)
+          [-4 :]               n_verts, n_faces as (lo16, hi16)
+        ``caps`` = (unwrap_pair, unwrap_pair2, unwrap_multi, bake_pair,
+        bake_pair2) static capacities.
 
         Output wire (uint8): [albedo u8 3*res^2][bump u8 3*res^2]
         [uv u16-le 6 per face][counters u32 x6][rm u16 x2]. Bump is dithered
@@ -691,12 +711,23 @@ class SF3D:
         from sculptmate_tpu.geometry.uv_unwrap_device import _unwrap_core
 
         res = bake_resolution
+        attrs_u16 = packed_u16[: 6 * nb].reshape(6, nb)
+        fsec = packed_u16[6 * nb : 6 * nb + 6 * fbk].reshape(6, fbk).astype(
+            jnp.int32
+        )
+        fa = fsec[0] | (fsec[3] << 16)
+        fb = fsec[1] | (fsec[4] << 16)
+        fc = fsec[2] | (fsec[5] << 16)
+        meta = packed_u16[6 * nb + 6 * fbk :].astype(jnp.uint32)
+        rm_bbox_rot = jax.lax.bitcast_convert_type(
+            meta[0:34:2] | (meta[1:34:2] << 16), jnp.float32
+        )
         rm = rm_bbox_rot[:2]
         bb_min = rm_bbox_rot[2:5]
         bb_max = rm_bbox_rot[5:8]
         rot = rm_bbox_rot[8:17].reshape(3, 3)
-        n_verts = n_counts[0]
-        n_faces = n_counts[1]
+        n_verts = (meta[34] | (meta[35] << 16)).astype(jnp.int32)
+        n_faces = (meta[36] | (meta[37] << 16)).astype(jnp.int32)
 
         scale = (bb_max - bb_min) / 65535.0
         rp = [
@@ -833,33 +864,58 @@ class SF3D:
             ]
         )
 
-        u_pair = 1 << max(16, int(4 * fb_ - 1).bit_length())
-        u_pair2 = default_pair2_capacity(RASTER_RES)
-        u_multi = default_multi_capacity(u_pair)
-        b_pair = (
-            default_pair_capacity(nf)
-            if bake_resolution % texture_bake.TILE2 == 0
-            else 0
-        )
-        b_pair2 = default_pair2_capacity(bake_resolution)
+        # capacity cache: the conservative defaults are 20-40x the observed
+        # (face, tile)-pair counts, and the binned rasterizer pays for every
+        # CAPACITY slot's scatter update (TPU scatter cost scales with update
+        # count, not live count). After the first successful bake the
+        # observed counters (x1.5 slack) size all later programs — same
+        # policy as the extraction _cap_cache; overflow is detected from the
+        # wire counters and retried, never truncated.
+        if not hasattr(self, "_ub_caps"):
+            self._ub_caps = {}
+        cached = self._ub_caps.get(bake_resolution)
+        first_success_shrinks = cached is None
+        if cached is not None:
+            u_pair, u_pair2, u_multi, b_pair, b_pair2 = cached
+        else:
+            u_pair = 1 << max(16, int(4 * fb_ - 1).bit_length())
+            u_pair2 = default_pair2_capacity(RASTER_RES)
+            u_multi = default_multi_capacity(u_pair)
+            b_pair = (
+                default_pair_capacity(nf)
+                if bake_resolution % texture_bake.TILE2 == 0
+                else 0
+            )
+            b_pair2 = default_pair2_capacity(bake_resolution)
 
         res = bake_resolution
+        # ONE u16 upload: attrs + lo/hi-split faces + bit-split f32 metadata
+        # + counts (each separate device_put pays the tunnel's fluctuating
+        # 30-500 ms latency; this used to be 7 transfers)
+        packed = np.empty(6 * nb + 6 * fb_ + 38, np.uint16)
+        packed[: 6 * nb] = attrs.reshape(-1)
+        packed[6 * nb : 6 * nb + 3 * fb_] = (
+            (fcomp & 0xFFFF).astype(np.uint16).reshape(-1)
+        )
+        packed[6 * nb + 3 * fb_ : 6 * nb + 6 * fb_] = (
+            (fcomp >> 16).astype(np.uint16).reshape(-1)
+        )
+        bits = rm_bbox_rot.astype(np.float32).view(np.uint32)
+        packed[-38:-4:2] = (bits & 0xFFFF).astype(np.uint16)
+        packed[-37:-4:2] = (bits >> 16).astype(np.uint16)
+        packed[-4] = nv & 0xFFFF
+        packed[-3] = nv >> 16
+        packed[-2] = nf & 0xFFFF
+        packed[-1] = nf >> 16
         if prof:
             print(f"[unwrap_bake] host prep: {(_time.perf_counter()-t0)*1e3:.0f} ms")
             t0 = _time.perf_counter()
-        args = (
-            scene_code,
-            jnp.asarray(attrs),
-            jnp.asarray(fcomp[0]),
-            jnp.asarray(fcomp[1]),
-            jnp.asarray(fcomp[2]),
-            jnp.asarray(rm_bbox_rot),
-            jnp.asarray([nv, nf], jnp.int32),
-        )
+        packed_dev = jnp.asarray(packed)
         while True:
             wire = np.asarray(
                 self._unwrap_bake_jit(
-                    *args, res, float(island_padding),
+                    scene_code, packed_dev, nb, fb_, res,
+                    float(island_padding),
                     (u_pair, u_pair2, u_multi, b_pair, b_pair2),
                 )
             )  # ONE fetch for uvs + textures
@@ -900,6 +956,29 @@ class SF3D:
                         b_pair = max(b_pair, -(-64 * 2 * bk_multi // pc) * pc)
             if ok:
                 break
+
+        if first_success_shrinks:
+            # shrink ONCE to observed x1.5 (chunk-rounded); later calls grow
+            # only on overflow, so capacity shapes (and thus compiles) change
+            # at most twice per process — and the persistent compile cache
+            # amortizes those across processes
+            u_pair = max(_PAIR_CHUNK, -(-int(uw_fine * 1.5) // _PAIR_CHUNK) * _PAIR_CHUNK)
+            u_pair2 = max(
+                _PAIR2_CHUNK, -(-int(uw_coarse * 1.5) // _PAIR2_CHUNK) * _PAIR2_CHUNK
+            )
+            u_multi = max(1024, 2 * uw_multi)
+            if b_pair > 0:
+                b_pair = max(
+                    _PAIR_CHUNK,
+                    -(-int(bk_fine * 1.5) // _PAIR_CHUNK) * _PAIR_CHUNK,
+                    # keep default_multi_capacity(b_pair) >= observed multis
+                    -(-64 * 2 * bk_multi // _PAIR_CHUNK) * _PAIR_CHUNK,
+                )
+                b_pair2 = max(
+                    _PAIR2_CHUNK,
+                    -(-int(bk_coarse * 1.5) // _PAIR2_CHUNK) * _PAIR2_CHUNK,
+                )
+        self._ub_caps[bake_resolution] = (u_pair, u_pair2, u_multi, b_pair, b_pair2)
 
         if prof:
             print(f"[unwrap_bake] jit+fetch: {(_time.perf_counter()-t0)*1e3:.0f} ms")
