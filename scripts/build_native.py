@@ -21,18 +21,24 @@ def main() -> int:
     ap.add_argument("--check", action="store_true")
     args = ap.parse_args()
 
-    # force a rebuild decision through the same path the runtime uses
-    from sculptmate_tpu.geometry.native import load_native, _DIR
+    # Build the PORTABLE shipped .so explicitly: the runtime loader prefers
+    # a host-optimized (-march=native) build in the user cache, so going
+    # through load_native would leave a stale in-tree binary.
+    import ctypes
+
+    from sculptmate_tpu.geometry.native import _build, _DIR
 
     failed = []
     for name in NATIVE:
-        lib = load_native(name)
+        src = os.path.join(_DIR, f"{name}.cpp")
         path = os.path.join(_DIR, f"lib{name}.so")
-        if lib is None:
-            failed.append(name)
-            print(f"FAIL  {name}  (g++ build or dlopen failed)")
-        else:
+        try:
+            _build(src, path)
+            ctypes.CDLL(path)
             print(f"ok    {name}  -> {path}  ({os.path.getsize(path)} B)")
+        except Exception as e:
+            failed.append(name)
+            print(f"FAIL  {name}  (g++ build or dlopen failed: {e})")
     if failed and args.check:
         print(f"{len(failed)} native libraries failed: {failed}", file=sys.stderr)
         return 1
