@@ -127,6 +127,46 @@ struct Simplifier {
            2 * q.m[6] * y + q.m[7] * z * z + 2 * q.m[8] * z + q.m[9];
   }
 
+  // Bulk-ordering error: float arithmetic throughout (2x the AVX throughput
+  // of the double path). Only ORDERS candidate edges against the sweep
+  // threshold — a float-cancellation misestimate merely shifts an edge to a
+  // different sweep; the collapse-time placement solve (calculate_error)
+  // stays double and the flip veto still guards quality.
+  float error_only(int id_v1, int id_v2) const {
+    const qreal* a = vertices[id_v1].q.m;
+    const qreal* b = vertices[id_v2].q.m;
+    float m0 = (float)(a[0] + b[0]), m1 = (float)(a[1] + b[1]),
+          m2 = (float)(a[2] + b[2]), m3 = (float)(a[3] + b[3]),
+          m4 = (float)(a[4] + b[4]), m5 = (float)(a[5] + b[5]),
+          m6 = (float)(a[6] + b[6]), m7 = (float)(a[7] + b[7]),
+          m8 = (float)(a[8] + b[8]), m9 = (float)(a[9] + b[9]);
+    auto verr = [&](float x, float y, float z) {
+      return m0 * x * x + 2 * m1 * x * y + 2 * m2 * x * z + 2 * m3 * x +
+             m4 * y * y + 2 * m5 * y * z + 2 * m6 * y + m7 * z * z +
+             2 * m8 * z + m9;
+    };
+    bool border = vertices[id_v1].border && vertices[id_v2].border;
+    float det = m0 * m4 * m7 + m2 * m1 * m5 + m1 * m5 * m2 -
+                m2 * m4 * m2 - m0 * m5 * m5 - m1 * m1 * m7;
+    if (det != 0.0f && !border) {
+      float inv = 1.0f / det;
+      float x = -inv * (m1 * (m5 * m8 - m7 * m6) - m2 * (m4 * m8 - m5 * m6) +
+                        m3 * (m4 * m7 - m5 * m5));
+      float y = inv * (m0 * (m5 * m8 - m7 * m6) - m2 * (m1 * m8 - m2 * m6) +
+                       m3 * (m1 * m7 - m2 * m5));
+      float z = -inv * (m0 * (m4 * m8 - m5 * m6) - m1 * (m1 * m8 - m2 * m6) +
+                        m3 * (m1 * m5 - m2 * m4));
+      return verr(x, y, z);
+    }
+    const Vec3& p1 = vertices[id_v1].p;
+    const Vec3& p2 = vertices[id_v2].p;
+    float e1 = verr((float)p1.x, (float)p1.y, (float)p1.z);
+    float e2 = verr((float)p2.x, (float)p2.y, (float)p2.z);
+    float e3 = verr((float)((p1.x + p2.x) * 0.5), (float)((p1.y + p2.y) * 0.5),
+                    (float)((p1.z + p2.z) * 0.5));
+    return std::fmin(e1, std::fmin(e2, e3));
+  }
+
   double calculate_error(int id_v1, int id_v2, Vec3& p_result) const {
     SymMat q = vertices[id_v1].q + vertices[id_v2].q;
     bool border = vertices[id_v1].border && vertices[id_v2].border;
@@ -164,12 +204,19 @@ struct Simplifier {
         deleted[k] = true;
         continue;
       }
-      Vec3 d1 = (vertices[id1].p - p).normalized();
-      Vec3 d2 = (vertices[id2].p - p).normalized();
-      if (std::fabs(d1.dot(d2)) > 0.999) return true;  // degenerate sliver
-      Vec3 n = d1.cross(d2).normalized();
+      // sqrt-free forms of the reference tests (one sqrt total instead of
+      // three normalized()): |d1n.d2n| > 0.999  <=>  (d1.d2)^2 > 0.999^2
+      // l1 l2;  n_unit.t.n < 0.2  <=>  (d1 x d2).t.n < 0.2 |d1 x d2|
+      Vec3 d1 = vertices[id1].p - p;
+      Vec3 d2 = vertices[id2].p - p;
+      double l1 = d1.dot(d1), l2 = d2.dot(d2);
+      if (l1 < 1e-60 || l2 < 1e-60) return true;  // collapsed edge
+      double dd = d1.dot(d2);
+      if (dd * dd > 0.998001 * l1 * l2) return true;  // degenerate sliver
+      Vec3 n = d1.cross(d2);
       deleted[k] = false;
-      if (n.x * t.n.x + n.y * t.n.y + n.z * t.n.z < 0.2) return true;  // flip
+      double ndot = n.x * t.n.x + n.y * t.n.y + n.z * t.n.z;
+      if (ndot < 0.2 * std::sqrt(n.dot(n))) return true;  // flip
     }
     return false;
   }
@@ -195,19 +242,38 @@ struct Simplifier {
     }
   }
 
-  void update_mesh(int iteration) {
+  void update_mesh(int iteration, int deleted_triangles) {
     if (iteration > 0) {
+      // Few deletions so far (early sweeps on a gentle ratio): refresh the
+      // dirty errors in place and keep the triangle array + refs as-is —
+      // compacting 1.3M triangles to discard 2% costs more than the skips
+      // it saves, and refs/tids stay valid precisely because we DON'T move
+      // triangles. Refs growth is bounded by the sweep appends (~2x the
+      // collapsed vertices' lists), fine for the handful of iterations the
+      // jumpstart schedule runs.
+      bool skip_compact =
+          (size_t)deleted_triangles * 4 < triangles.size() &&
+          refs.size() < refs.capacity();
+      if (skip_compact) {
+        for (auto& t : triangles) {
+          if (t.deleted || !t.dirty) continue;
+          for (int j = 0; j < 3; j++)
+            t.err[j] = error_only(t.v[j], t.v[(j + 1) % 3]);
+          t.err[3] = std::fmin(t.err[0], std::fmin(t.err[1], t.err[2]));
+          t.dirty = false;
+        }
+        return;  // refs untouched => still consistent
+      }
       // ONE fused stream: compact the alive triangles, refresh the errors of
       // the dirty ones (deferred from the sweep's collapses), clear dirty
       size_t dst = 0;
-      Vec3 p;
       for (size_t i = 0; i < triangles.size(); i++) {
         if (triangles[i].deleted) continue;
         Triangle& t = triangles[dst];
         t = triangles[i];
         if (t.dirty) {
           for (int j = 0; j < 3; j++)
-            t.err[j] = (float)calculate_error(t.v[j], t.v[(j + 1) % 3], p);
+            t.err[j] = error_only(t.v[j], t.v[(j + 1) % 3]);
           t.err[3] = std::fmin(t.err[0], std::fmin(t.err[1], t.err[2]));
           t.dirty = false;
         }
@@ -227,10 +293,9 @@ struct Simplifier {
         for (int j = 0; j < 3; j++) vertices[t.v[j]].q += plane;
       }
       double q1 = now_ms();
-      Vec3 p;
       for (auto& t : triangles) {
         for (int j = 0; j < 3; j++)
-          t.err[j] = (float)calculate_error(t.v[j], t.v[(j + 1) % 3], p);
+          t.err[j] = error_only(t.v[j], t.v[(j + 1) % 3]);
         t.err[3] = std::fmin(t.err[0], std::fmin(t.err[1], t.err[2]));
       }
       if (profile_enabled())
@@ -325,7 +390,7 @@ struct Simplifier {
     for (int iteration = 0; iteration < 100; iteration++) {
       if (triangle_count - deleted_triangles <= target_count) break;
       double t0 = now_ms();
-      update_mesh(iteration);
+      update_mesh(iteration, deleted_triangles);
       double t1 = now_ms();
       if (iteration == 0)
         thr_floor = jumpstart_threshold(target_count);
