@@ -58,6 +58,36 @@ def decimate(
     return v, f
 
 
+def vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Area-weighted vertex normals (``Mesh._compute_vertex_normal``
+    semantics) via the native kernel; numpy fallback when unavailable.
+    For meshes that skip decimation (e.g. the snap-weld already hit the
+    vertex budget) but still need normals on the hot path."""
+    verts = np.ascontiguousarray(verts, np.float32)
+    faces32 = np.ascontiguousarray(faces, np.int32)
+    lib = load_native("quadric_decimate")
+    if lib is None or not hasattr(lib, "mesh_vertex_normals"):
+        from sculptmate_tpu.geometry.mesh import Mesh
+
+        return Mesh(verts, np.asarray(faces, np.int64)).v_nrm
+    fn = lib.mesh_vertex_normals
+    if not getattr(lib, "_normals_configured", False):
+        fn.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        fn.restype = None
+        lib._normals_configured = True
+    out = np.empty_like(verts)
+    fn(
+        verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(verts),
+        faces32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(faces32),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out
+
+
 def _decimate_native(
     lib, verts, faces, target_ratio, aggressiveness, return_normals=False
 ):

@@ -97,11 +97,19 @@ def _mt_vertex_side(
     resolution: int,
     max_verts: int,
     vert_block_capacity: int,
+    snap_eps: float = 0.0,
 ):
     """Cut-edge detection + deformed vertex positions, block-compacted.
 
     Returns (vx, vy, vz, valid_v, vid (7 n3p,), occ3, num_verts, n_vblocks).
     Shared by ``marching_tets`` (full device MT) and ``mt_wire_device``.
+
+    ``snap_eps`` > 0 snaps the interpolation parameter t to {0, 1} within
+    eps, so vertices land EXACTLY on the (deformed) lattice endpoint shared
+    by every incident edge — the decoder can then weld them by quantized
+    position and drop the resulting degenerate sliver triangles
+    (``mt_wire.decode_wire(weld=True)``). Geometric displacement is bounded
+    by eps * edge_len <= eps * sqrt(3)/res lattice units.
     """
     N = lattice_size(resolution)
     n3 = N * N * N
@@ -214,6 +222,10 @@ def _mt_vertex_side(
     denom = s0 - s1
     t = s0 / jnp.where(denom == 0, 1.0, denom)
     t = jnp.clip(t, 0.0, 1.0)
+    # snap_eps may be a TRACED scalar: 0.0 is an exact no-op (t is clipped to
+    # [0, 1], so t < 0 and t > 1 never hold) — one compiled program serves
+    # every eps
+    t = jnp.where(t < snap_eps, 0.0, jnp.where(t > 1.0 - snap_eps, 1.0, t))
 
     inv_res = 1.0 / resolution
 
@@ -244,6 +256,7 @@ def mt_wire_device(
     max_verts: int,
     vert_block_capacity: int = 0,
     extra_counts: Tuple = (),
+    snap_eps: float = 0.0,
 ) -> jnp.ndarray:
     """Compact wire-format MT extraction (see ``geometry/mt_wire.py``).
 
@@ -266,7 +279,7 @@ def mt_wire_device(
 
     vx, vy, vz, valid_v, _vid, occ3, num_verts, n_vblocks = _mt_vertex_side(
         sdf, deform_x, deform_y, deform_z, resolution, max_verts,
-        vert_block_capacity,
+        vert_block_capacity, snap_eps=snap_eps,
     )
 
     occ_bytes = pack_bits_u8(occ3.ravel())

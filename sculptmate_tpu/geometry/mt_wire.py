@@ -93,6 +93,11 @@ def _lib():
             ctypes.c_longlong,
             f32, i32,
         ]
+        if hasattr(lib, "mt_wire_build_weld"):
+            lib.mt_wire_build_weld.restype = ctypes.c_longlong
+            lib.mt_wire_build_weld.argtypes = lib.mt_wire_build.argtypes + [
+                ctypes.POINTER(ctypes.c_longlong)
+            ]
         lib._mt_wire_configured = True
     return lib
 
@@ -106,11 +111,19 @@ def decode_wire(
     resolution: int,
     max_verts: int,
     n_counts: int = N_WIRE_COUNTS,
+    weld: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """wire (W,) uint8 -> (verts (nv,3) f32 in [0,1] lattice coords,
     faces (nf,3) i32, counts (n_counts,) u32). Raises on malformed input or
     when the native decoder is unavailable (no numpy fallback here — the SF3D
-    path requires the toolchain that also builds its other native kernels)."""
+    path requires the toolchain that also builds its other native kernels).
+
+    ``weld=True`` merges vertices with identical quantized positions and
+    drops the triangles that degenerate under the merge — pair with the
+    device's ``snap_eps`` (``marching_tets.mt_wire_device``), which parks
+    near-endpoint vertices exactly on the shared deformed lattice point.
+    counts[0] still reports the RAW pre-weld vertex count (the capacity /
+    budget-semantics number); the returned arrays are the welded mesh."""
     wire = np.ascontiguousarray(wire, np.uint8)
     offs = wire_layout(resolution, max_verts, n_counts)
     if wire.size != offs[-1]:
@@ -144,17 +157,31 @@ def decode_wire(
         raise _native_error("mt_wire_count_faces", nf)
     verts = np.empty((nv, 3), np.float32)
     faces = np.empty((max(nf, 1), 3), np.int32)
-    wrote = int(
-        lib.mt_wire_build(
-            _ptr(occ, ctypes.c_uint8), N, Np,
-            *(_ptr(s, ctypes.c_uint8) for s in sect),
-            nv,
-            _ptr(counts_plus, ctypes.c_int32), _ptr(tri_table, ctypes.c_int32),
-            _ptr(edge_class, ctypes.c_int32), _ptr(edge_anchor, ctypes.c_int32),
-            nf,
-            _ptr(verts, ctypes.c_float), _ptr(faces, ctypes.c_int32),
-        )
+    args = (
+        _ptr(occ, ctypes.c_uint8), N, Np,
+        *(_ptr(s, ctypes.c_uint8) for s in sect),
+        nv,
+        _ptr(counts_plus, ctypes.c_int32), _ptr(tri_table, ctypes.c_int32),
+        _ptr(edge_class, ctypes.c_int32), _ptr(edge_anchor, ctypes.c_int32),
+        nf,
+        _ptr(verts, ctypes.c_float), _ptr(faces, ctypes.c_int32),
     )
+    if weld:
+        if not hasattr(lib, "mt_wire_build_weld"):
+            raise RuntimeError(
+                "native mt_wire predates weld support - rebuild "
+                "geometry/native/mt_wire.cpp (delete the stale lib*.so)"
+            )
+        out_nv = ctypes.c_longlong(0)
+        wrote = int(lib.mt_wire_build_weld(*args, ctypes.byref(out_nv)))
+        if wrote < 0:
+            raise _native_error("mt_wire_build_weld", wrote)
+        if wrote > nf:
+            raise WireCorruptError(
+                f"mt_wire_build_weld wrote {wrote} faces, expected <= {nf}"
+            )
+        return verts[: out_nv.value], faces[:wrote], counts
+    wrote = int(lib.mt_wire_build(*args))
     if wrote < 0:
         raise _native_error("mt_wire_build", wrote)
     if wrote != nf:

@@ -162,8 +162,14 @@ long long mt_wire_count_faces(const uint8_t *occ_bytes, int N, int Np,
 // Tables: tri_count (6*16 + 6*4,) int32 (counts ++ per-tet corner indices),
 // tri_table (6*16*2*3,) int32 edge slots, edge_class (6*6,) int32,
 // edge_anchor (6*6*3,) int32.
+// weld: merge vertices whose quantized u16 position triples are identical
+// (the device's snap_eps puts snapped vertices EXACTLY on the shared
+// deformed lattice point, so the triples match bit-for-bit), drop the
+// triangles that degenerate under the merge, and compact the surviving
+// vertices. *out_nv receives the surviving vertex count (== nv when weld
+// is 0 or out_nv is null and weld untaken).
 // Returns faces written, -1 bad args, -2 vertex-count mismatch, -3 overflow.
-long long mt_wire_build(
+static long long build_impl(
     const uint8_t *occ_bytes, int N, int Np,
     const uint8_t *px_lo, const uint8_t *px_hi,
     const uint8_t *py_lo, const uint8_t *py_hi,
@@ -172,7 +178,8 @@ long long mt_wire_build(
     const int32_t *tri_count, const int32_t *tri_table,
     const int32_t *edge_class, const int32_t *edge_anchor,
     long long max_out_faces,
-    float *out_verts, int32_t *out_faces) {
+    float *out_verts, int32_t *out_faces,
+    int weld, long long *out_nv) {
     if (Np % 8 != 0 || Np < N || N < 2) return -1;
     TGrid g;
     g.N = N; g.Np = Np; g.nw = (Np + 63) / 64;
@@ -203,6 +210,36 @@ long long mt_wire_build(
                     }
                 }
     if (v != nv) return -2;
+
+    // -- weld map: vid -> first vid with the same quantized position -------
+    std::vector<int32_t> remap;
+    if (weld && nv > 0) {
+        remap.resize((size_t)nv);
+        size_t cap = 64;
+        while (cap < (size_t)nv * 2) cap <<= 1;
+        std::vector<int64_t> table(cap, -1);
+        auto key_of = [&](long long q) -> uint64_t {
+            uint64_t x = (uint64_t)(px_lo[q] | (px_hi[q] << 8));
+            uint64_t y = (uint64_t)(py_lo[q] | (py_hi[q] << 8));
+            uint64_t z = (uint64_t)(pz_lo[q] | (pz_hi[q] << 8));
+            return x | (y << 16) | (z << 32);
+        };
+        auto mix = [](uint64_t k) {
+            k ^= k >> 33; k *= 0xFF51AFD7ED558CCDull;
+            k ^= k >> 33; k *= 0xC4CEB9FE1A85EC53ull;
+            return k ^ (k >> 33);
+        };
+        for (long long q = 0; q < nv; ++q) {
+            uint64_t key = key_of(q);
+            size_t h = (size_t)mix(key) & (cap - 1);
+            for (;;) {
+                int64_t slot = table[h];
+                if (slot < 0) { table[h] = q; remap[(size_t)q] = (int32_t)q; break; }
+                if (key_of(slot) == key) { remap[(size_t)q] = remap[(size_t)slot]; break; }
+                h = (h + 1) & (cap - 1);
+            }
+        }
+    }
 
     // -- faces -------------------------------------------------------------
     long long nf = 0;
@@ -237,22 +274,88 @@ long long mt_wire_build(
                         int nt = tri_count[t * 16 + cs];
                         for (int s = 0; s < nt; ++s) {
                             if (nf >= max_out_faces) return -3;
+                            int32_t ids[3];
                             for (int cc = 0; cc < 3; ++cc) {
                                 int se = tri_table[((t * 16 + cs) * 2 + s) * 3 + cc];
                                 int dcl = edge_class[t * 6 + se];
                                 int ai = i + edge_anchor[(t * 6 + se) * 3 + 0];
                                 int aj = j + edge_anchor[(t * 6 + se) * 3 + 1];
                                 int ak = k + edge_anchor[(t * 6 + se) * 3 + 2];
-                                out_faces[3 * nf + cc] =
-                                    (int32_t)vid_of(g, dcl, ai, aj, ak);
+                                ids[cc] = (int32_t)vid_of(g, dcl, ai, aj, ak);
                             }
+                            if (weld) {
+                                ids[0] = remap[ids[0]];
+                                ids[1] = remap[ids[1]];
+                                ids[2] = remap[ids[2]];
+                                if (ids[0] == ids[1] || ids[1] == ids[2] ||
+                                    ids[0] == ids[2])
+                                    continue;  // degenerate under the merge
+                            }
+                            out_faces[3 * nf + 0] = ids[0];
+                            out_faces[3 * nf + 1] = ids[1];
+                            out_faces[3 * nf + 2] = ids[2];
                             ++nf;
                         }
                     }
                 }
             }
         }
+
+    if (weld && nv > 0) {
+        // -- compact: keep only face-referenced vertices, renumber in vid
+        // order (monotone => in-place forward move is safe) ----------------
+        std::vector<uint8_t> used((size_t)nv, 0);
+        for (long long f = 0; f < 3 * nf; ++f) used[(size_t)out_faces[f]] = 1;
+        std::vector<int32_t> newid((size_t)nv);
+        int32_t next = 0;
+        for (long long q = 0; q < nv; ++q) {
+            newid[(size_t)q] = next;
+            if (used[(size_t)q]) {
+                out_verts[3 * next + 0] = out_verts[3 * q + 0];
+                out_verts[3 * next + 1] = out_verts[3 * q + 1];
+                out_verts[3 * next + 2] = out_verts[3 * q + 2];
+                ++next;
+            }
+        }
+        for (long long f = 0; f < 3 * nf; ++f)
+            out_faces[f] = newid[(size_t)out_faces[f]];
+        if (out_nv) *out_nv = next;
+    } else if (out_nv) {
+        *out_nv = nv;
+    }
     return nf;
+}
+
+long long mt_wire_build(
+    const uint8_t *occ_bytes, int N, int Np,
+    const uint8_t *px_lo, const uint8_t *px_hi,
+    const uint8_t *py_lo, const uint8_t *py_hi,
+    const uint8_t *pz_lo, const uint8_t *pz_hi,
+    long long nv,
+    const int32_t *tri_count, const int32_t *tri_table,
+    const int32_t *edge_class, const int32_t *edge_anchor,
+    long long max_out_faces,
+    float *out_verts, int32_t *out_faces) {
+    return build_impl(occ_bytes, N, Np, px_lo, px_hi, py_lo, py_hi, pz_lo,
+                      pz_hi, nv, tri_count, tri_table, edge_class, edge_anchor,
+                      max_out_faces, out_verts, out_faces, 0, nullptr);
+}
+
+// Welding variant (see build_impl). *out_nv receives the compacted vertex
+// count; the returned face count excludes degenerate (welded-away) faces.
+long long mt_wire_build_weld(
+    const uint8_t *occ_bytes, int N, int Np,
+    const uint8_t *px_lo, const uint8_t *px_hi,
+    const uint8_t *py_lo, const uint8_t *py_hi,
+    const uint8_t *pz_lo, const uint8_t *pz_hi,
+    long long nv,
+    const int32_t *tri_count, const int32_t *tri_table,
+    const int32_t *edge_class, const int32_t *edge_anchor,
+    long long max_out_faces,
+    float *out_verts, int32_t *out_faces, long long *out_nv) {
+    return build_impl(occ_bytes, N, Np, px_lo, px_hi, py_lo, py_hi, pz_lo,
+                      pz_hi, nv, tri_count, tri_table, edge_class, edge_anchor,
+                      max_out_faces, out_verts, out_faces, 1, out_nv);
 }
 
 } // extern "C"

@@ -110,6 +110,9 @@ struct Vertex {
   bool border;
 };
 
+void accumulate_normals(const float* verts, int64_t nv, const int32_t* faces,
+                        int64_t nf, float* out_normals);
+
 // packed (tid << 2 | corner): half the ref-array traffic of {int,int}
 typedef uint32_t VRef;
 inline VRef make_ref(uint32_t tid, uint32_t corner) { return (tid << 2) | corner; }
@@ -470,39 +473,7 @@ struct Simplifier {
     }
     *out_nv = next;
     *out_nf = nf;
-    if (out_normals) {
-      // double accumulators match the host numpy bincount (f64) semantics
-      std::vector<double> acc(3 * (size_t)next, 0.0);
-      for (int64_t i = 0; i < nf; i++) {
-        const int32_t* f = out_faces + 3 * i;
-        Vec3 p0{out_verts[3 * f[0]], out_verts[3 * f[0] + 1],
-                out_verts[3 * f[0] + 2]};
-        Vec3 p1{out_verts[3 * f[1]], out_verts[3 * f[1] + 1],
-                out_verts[3 * f[1] + 2]};
-        Vec3 p2{out_verts[3 * f[2]], out_verts[3 * f[2] + 1],
-                out_verts[3 * f[2] + 2]};
-        Vec3 n = (p1 - p0).cross(p2 - p0);  // area-weighted (unnormalized)
-        for (int j = 0; j < 3; j++) {
-          acc[3 * (size_t)f[j]] += n.x;
-          acc[3 * (size_t)f[j] + 1] += n.y;
-          acc[3 * (size_t)f[j] + 2] += n.z;
-        }
-      }
-      for (int32_t i = 0; i < next; i++) {
-        double nx = acc[3 * (size_t)i], ny = acc[3 * (size_t)i + 1],
-               nz = acc[3 * (size_t)i + 2];
-        double len2 = nx * nx + ny * ny + nz * nz;
-        float* n = out_normals + 3 * i;
-        if (len2 <= 1e-20) {
-          n[0] = 0.0f; n[1] = 0.0f; n[2] = 1.0f;
-        } else {
-          double inv = 1.0 / std::sqrt(len2);
-          n[0] = (float)(nx * inv);
-          n[1] = (float)(ny * inv);
-          n[2] = (float)(nz * inv);
-        }
-      }
-    }
+    if (out_normals) accumulate_normals(out_verts, next, out_faces, nf, out_normals);
     if (profile_enabled())
       std::fprintf(stderr, "[decimate]   compact+out: %.1f ms\n", now_ms() - c0);
   }
@@ -510,7 +481,53 @@ struct Simplifier {
 
 }  // namespace
 
+namespace {
+
+// Area-weighted vertex normals with ``Mesh._compute_vertex_normal``
+// semantics (face-cross scatter, zero-normal fallback +z, normalized);
+// double accumulators match the numpy f64 bincount path.
+void accumulate_normals(const float* verts, int64_t nv, const int32_t* faces,
+                        int64_t nf, float* out_normals) {
+  std::vector<double> acc(3 * (size_t)nv, 0.0);
+  for (int64_t i = 0; i < nf; i++) {
+    const int32_t* f = faces + 3 * i;
+    Vec3 p0{verts[3 * f[0]], verts[3 * f[0] + 1], verts[3 * f[0] + 2]};
+    Vec3 p1{verts[3 * f[1]], verts[3 * f[1] + 1], verts[3 * f[1] + 2]};
+    Vec3 p2{verts[3 * f[2]], verts[3 * f[2] + 1], verts[3 * f[2] + 2]};
+    Vec3 n = (p1 - p0).cross(p2 - p0);  // area-weighted (unnormalized)
+    for (int j = 0; j < 3; j++) {
+      acc[3 * (size_t)f[j]] += n.x;
+      acc[3 * (size_t)f[j] + 1] += n.y;
+      acc[3 * (size_t)f[j] + 2] += n.z;
+    }
+  }
+  for (int64_t i = 0; i < nv; i++) {
+    double nx = acc[3 * (size_t)i], ny = acc[3 * (size_t)i + 1],
+           nz = acc[3 * (size_t)i + 2];
+    double len2 = nx * nx + ny * ny + nz * nz;
+    float* n = out_normals + 3 * i;
+    if (len2 <= 1e-20) {
+      n[0] = 0.0f; n[1] = 0.0f; n[2] = 1.0f;
+    } else {
+      double inv = 1.0 / std::sqrt(len2);
+      n[0] = (float)(nx * inv);
+      n[1] = (float)(ny * inv);
+      n[2] = (float)(nz * inv);
+    }
+  }
+}
+
+}  // namespace
+
 extern "C" {
+
+// Standalone vertex normals (same semantics as the decimator's fused
+// output): for paths that keep the mesh as-is (e.g. the snap-weld already
+// hit the vertex budget) but still need normals without a numpy pass.
+void mesh_vertex_normals(const float* verts, int64_t nv, const int32_t* faces,
+                         int64_t nf, float* out_normals) {
+  accumulate_normals(verts, nv, faces, nf, out_normals);
+}
 
 // Returns actual output counts via out_nv/out_nf. Output buffers must be
 // sized for the input (decimation never grows the mesh).

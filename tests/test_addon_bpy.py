@@ -14,6 +14,10 @@ import fake_bpy
 
 @pytest.fixture()
 def bpy_env(monkeypatch):
+    # restore (not pop) any pre-existing fake bpy on teardown: the
+    # reference-module tests install one at collection time and the
+    # reference's tsr/system.py needs it at import (`import bpy`)
+    prev = sys.modules.get("bpy")
     bpy = fake_bpy.install()
     # (re)import the addon modules against the fresh fake bpy
     for mod in ("panel", "preferences", "blender_io"):
@@ -23,7 +27,10 @@ def bpy_env(monkeypatch):
         else:
             importlib.import_module(name)
     yield bpy
-    sys.modules.pop("bpy", None)
+    if prev is not None:
+        sys.modules["bpy"] = prev
+    else:
+        sys.modules.pop("bpy", None)
 
 
 def test_panel_register_and_draw(bpy_env):

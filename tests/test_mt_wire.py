@@ -112,3 +112,93 @@ def test_mt_wire_overflow_detected():
     )
     with pytest.raises(OverflowError):
         mt_wire.decode_wire(wire, res, 64)
+
+
+def _edge_pairing(faces):
+    e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
+    fwd = set(map(tuple, e.tolist()))
+    unpaired = sum((b, a) not in fwd for a, b in fwd)
+    return unpaired
+
+
+def test_mt_wire_snap_weld(rng):
+    """Device snap_eps + decoder weld: fewer verts/faces, closed stays
+    closed, displacement bounded by the snap radius, raw count preserved."""
+    res = 32
+    sdf = _sphere_sdf(res)
+    N = lattice_size(res)
+    deform = rng.standard_normal((N**3, 3)).astype(np.float32)
+    dx, dy, dz = (jnp.asarray(deform[:, c]) for c in range(3))
+
+    mv = 60000
+    eps = 0.25
+    wire0 = np.asarray(
+        jax.jit(mt_wire_device, static_argnums=(4, 5, 6))(
+            jnp.asarray(sdf), dx, dy, dz, res, mv, 0
+        )
+    )
+    v0, f0, c0 = mt_wire.decode_wire(wire0, res, mv)
+
+    wire = np.asarray(
+        jax.jit(mt_wire_device, static_argnums=(4, 5, 6))(
+            jnp.asarray(sdf), dx, dy, dz, res, mv, 0, (), eps
+        )
+    )
+    v1, f1, c1 = mt_wire.decode_wire(wire, res, mv, weld=True)
+
+    # counts[0] still reports the RAW vertex count (budget semantics)
+    assert int(c1[0]) == int(c0[0]) == len(v0)
+    # the weld actually removed something, and meaningfully so at eps=0.25
+    assert len(v1) < len(v0) and len(f1) < len(f0)
+    assert len(f1) < 0.95 * len(f0)
+    # face ids reference the compacted vertex array exactly
+    assert f1.max() == len(v1) - 1
+    assert len(np.unique(f1)) == len(v1)  # no orphan vertices survive
+    # no degenerate faces
+    assert (
+        (f1[:, 0] != f1[:, 1]) & (f1[:, 1] != f1[:, 2]) & (f1[:, 0] != f1[:, 2])
+    ).all()
+    # closed stays closed (every directed edge has its reverse)
+    assert _edge_pairing(f0) == 0
+    assert _edge_pairing(f1) == 0
+    # displacement bound, both directions: a snapped vertex moves by at most
+    # eps * deformed_edge_len; with tanh deform each endpoint shifts <=
+    # sqrt(3)/res, so deformed edges are <= 3*sqrt(3)/res long
+    from scipy.spatial import cKDTree
+
+    bound = eps * 3 * np.sqrt(3) / res + 1e-3
+    d = cKDTree(v0).query(v1, k=1)[0]
+    assert d.max() <= bound
+    dsurf = cKDTree(v1).query(v0, k=1)[0]
+    assert dsurf.max() <= bound
+
+
+def test_mt_wire_snap_zero_is_noop(rng):
+    """snap_eps=0.0 must reproduce the unsnapped wire bit-for-bit (the
+    production jit passes a TRACED eps; 0.0 selects the raw path)."""
+    res = 16
+    sdf = _sphere_sdf(res)
+    mv = 20000
+    w0 = np.asarray(
+        jax.jit(mt_wire_device, static_argnums=(4, 5, 6))(
+            jnp.asarray(sdf), None, None, None, res, mv, 0
+        )
+    )
+    w1 = np.asarray(
+        jax.jit(mt_wire_device, static_argnums=(4, 5, 6))(
+            jnp.asarray(sdf), None, None, None, res, mv, 0, (), jnp.float32(0.0)
+        )
+    )
+    assert np.array_equal(w0, w1)
+
+
+def test_vertex_normals_native_matches_numpy(rng):
+    from sculptmate_tpu.geometry.decimate import vertex_normals
+    from sculptmate_tpu.geometry.mesh import Mesh
+
+    res = 16
+    sdf = _sphere_sdf(res)
+    v, f, _ = _wire_mesh(sdf, None, res, mv=20000)
+    n_native = vertex_normals(v, f)
+    n_numpy = Mesh(v.copy(), np.asarray(f, np.int64)).v_nrm
+    assert np.allclose(n_native, n_numpy, atol=1e-6)

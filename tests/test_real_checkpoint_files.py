@@ -87,6 +87,7 @@ def _seed_torch(module, seed=0):
 def test_tsr_real_ckpt_file_and_fullsize_composed_parity(tmp_path):
     """config.yaml + torch.save'd model.ckpt -> load_tsr_checkpoint ->
     full-size composed forward/query parity + mesh-level MC check."""
+    add_reference_paths()  # re-ensure fake bpy (another test may pop it)
     from tsr.system import TSR as RefTSR
 
     ref = RefTSR.from_pretrained  # noqa: F841 (reachability)
@@ -215,6 +216,7 @@ def test_sf3d_real_safetensors_file_and_fullsize_composed_parity(tmp_path):
     built individually from the SAME shipped config dicts and composed
     exactly as ``sf3d/system.py:200-233`` does.
     """
+    add_reference_paths()  # re-ensure fake bpy (another test may pop it)
     import sf3d.models.tokenizers.dinov2 as dv
     from sf3d.models.camera import LinearCameraEmbedder as RefCam
     from sf3d.models.network import (
