@@ -91,6 +91,17 @@ def vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
 def _decimate_native(
     lib, verts, faces, target_ratio, aggressiveness, return_normals=False
 ):
+    # stale-ABI guard: the out_normals arg landed in the same rebuild as the
+    # mesh_vertex_normals symbol. A pre-normals .so surviving the mtime check
+    # (preserved-mtime installs) exports quadric_decimate with one fewer
+    # param — cdecl would silently leave out_nrm as uninitialized memory.
+    if return_normals and not hasattr(lib, "mesh_vertex_normals"):
+        v, f = _decimate_native(
+            lib, verts, faces, target_ratio, aggressiveness, False
+        )
+        from sculptmate_tpu.geometry.mesh import Mesh
+
+        return v, f, Mesh(v, f).v_nrm
     fn = lib.quadric_decimate
     fn.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64,

@@ -29,6 +29,32 @@ def _cache_dir() -> str:
     return path
 
 
+_HOST_TAG = None
+
+
+def _host_tag() -> str:
+    """CPU fingerprint for the -march=native cache filename: a cache dir on
+    a shared/copied home (NFS, container images) must not hand an AVX-512
+    build to a host without it — dlopen succeeds and the process dies with
+    SIGILL at the first call, which no try/except can catch."""
+    global _HOST_TAG
+    if _HOST_TAG is None:
+        import hashlib
+        import platform
+
+        desc = platform.machine()
+        try:
+            with open("/proc/cpuinfo") as fh:
+                for line in fh:
+                    if line.startswith(("flags", "Features")):
+                        desc += line
+                        break
+        except OSError:
+            desc += platform.processor()
+        _HOST_TAG = hashlib.md5(desc.encode()).hexdigest()[:10]
+    return _HOST_TAG
+
+
 def _build(src: str, out: str, native_arch: bool = False) -> None:
     flags = ["-O3", "-shared", "-fPIC", "-pthread"]
     if native_arch:
@@ -60,7 +86,13 @@ def load_native(name: str) -> Optional[ctypes.CDLL]:
         handle = None
         if os.path.isfile(src):
             try:
-                cached = os.path.join(_cache_dir(), f"lib{name}.so")
+                # host-tagged filename: a -march=native ELF is only valid on
+                # the CPU that built it (see _host_tag); the portable
+                # last-resort build below uses the untagged name, so the two
+                # never collide either
+                cached = os.path.join(
+                    _cache_dir(), f"lib{name}.{_host_tag()}.so"
+                )
                 if (
                     not os.path.isfile(cached)
                     or os.path.getmtime(cached) < os.path.getmtime(src)

@@ -123,6 +123,9 @@ struct Simplifier {
   std::vector<Triangle> triangles;
   std::vector<Vertex> vertices;
   std::vector<VRef> refs;
+  // cumulative deleted count at the last compaction (update_mesh's
+  // skip-compact heuristic compares deletions since then, not since start)
+  int compacted_deleted_ = 0;
 
   double vertex_error(const SymMat& q, double x, double y, double z) const {
     return q.m[0] * x * x + 2 * q.m[1] * x * y + 2 * q.m[2] * x * z +
@@ -247,15 +250,18 @@ struct Simplifier {
 
   void update_mesh(int iteration, int deleted_triangles) {
     if (iteration > 0) {
-      // Few deletions so far (early sweeps on a gentle ratio): refresh the
-      // dirty errors in place and keep the triangle array + refs as-is —
-      // compacting 1.3M triangles to discard 2% costs more than the skips
-      // it saves, and refs/tids stay valid precisely because we DON'T move
-      // triangles. Refs growth is bounded by the sweep appends (~2x the
-      // collapsed vertices' lists), fine for the handful of iterations the
-      // jumpstart schedule runs.
+      // Few deletions SINCE THE LAST COMPACTION (early sweeps on a gentle
+      // ratio, or the trickle after the jumpstart): refresh the dirty errors
+      // in place and keep the triangle array + refs as-is — compacting 1.3M
+      // triangles to discard 2% costs more than the skips it saves, and
+      // refs/tids stay valid precisely because we DON'T move triangles.
+      // Refs growth is bounded by the sweep appends (~2x the collapsed
+      // vertices' lists), fine for the handful of iterations the jumpstart
+      // schedule runs. (Comparing the CUMULATIVE count would disable the
+      // skip forever after the first compaction.)
       bool skip_compact =
-          (size_t)deleted_triangles * 4 < triangles.size() &&
+          (size_t)(deleted_triangles - compacted_deleted_) * 4 <
+              triangles.size() &&
           refs.size() < refs.capacity();
       if (skip_compact) {
         for (auto& t : triangles) {
@@ -283,6 +289,7 @@ struct Simplifier {
         dst++;
       }
       triangles.resize(dst);
+      compacted_deleted_ = deleted_triangles;
     }
 
     if (iteration == 0) {

@@ -88,7 +88,9 @@ class AssetFarm:
         )
         def _extract(params, codes, resolution, threshold, max_verts, max_faces):
             weights = mlp_weights_from_params(params["decoder"]["layers"])
-            spec = tsr.grid_spec(resolution)
+            # same compute dtype as TSR's own extraction paths (bf16 by default
+            # - systems/tsr.py grid_spec(..., compute_dtype=extract_dtype))
+            spec = tsr.grid_spec(resolution, compute_dtype=tsr.extract_dtype)
 
             def one(code):
                 dens = query_density_grid(code, weights, spec)
@@ -112,7 +114,9 @@ class AssetFarm:
             want_colors,
         ):
             weights = mlp_weights_from_params(params["decoder"]["layers"])
-            spec = tsr.grid_spec(resolution)
+            # same compute dtype as TSR's own extraction paths (bf16 by default
+            # - systems/tsr.py grid_spec(..., compute_dtype=extract_dtype))
+            spec = tsr.grid_spec(resolution, compute_dtype=tsr.extract_dtype)
             radius = tsr.config.radius
             scale = 2 * radius / (resolution - 1.0)
 
@@ -165,6 +169,15 @@ class AssetFarm:
         f32 device buffers (exact f32 positions, no colors; ~6x more D2H
         bytes at 256^3).
         """
+        if mode == "wire" and max_faces > 0:
+            # same policy as TSR.extract_mesh: the wire format has no device
+            # face buffer, so a face capacity cannot be honored - reject
+            # loudly rather than silently ignoring the caller's bound
+            raise ValueError(
+                "max_faces is not applicable in wire mode (faces are "
+                "rebuilt on the host from the wire counters); use "
+                'mode="packed" to bound the device face capacity'
+            )
         images = jax.device_put(images, NamedSharding(self.mesh, P(self.dp_axis)))
         codes = self._encode(self.params, images)
         if mode == "wire":

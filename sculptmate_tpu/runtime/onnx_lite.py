@@ -163,12 +163,16 @@ def _parse_tensor(buf: bytes) -> Tuple[Optional[str], Optional[np.ndarray]]:
         arr = np.asarray(u64, np.uint64)
     elif dt in (np.int32, np.int16, np.int8, np.uint8, np.uint16, np.bool_,
                 np.float16):
-        # small ints (and f16) ride the int32_data field as varints
-        vals = [v - (1 << 32) if v >= (1 << 31) else v for v in i32]
+        # small ints (and f16) ride the int32_data field as varints;
+        # negatives are encoded as 64-bit two's complement (protobuf int32
+        # semantics), so fold at 2^63 and let astype wrap to the final width
+        vals = np.asarray(
+            [v - (1 << 64) if v >= (1 << 63) else v for v in i32], np.int64
+        )
         if dt == np.float16:
-            arr = np.asarray(vals, np.uint16).view(np.float16)
+            arr = vals.astype(np.uint16).view(np.float16)
         else:
-            arr = np.asarray(vals).astype(dt)
+            arr = vals.astype(dt)
     else:
         arr = np.zeros(0, dt)
     return name, arr.reshape(shape).copy()

@@ -331,6 +331,66 @@ class TSR:
             block_capacity,
         )
 
+    # -- shared wire-path policy -------------------------------------------
+    # capacity cache, growth-on-overflow formulas and wire decode are shared
+    # by ``image_to_mesh`` and ``extract_mesh`` (wire mode) so the retry
+    # semantics cannot drift between the two entry points.
+
+    def _wire_caps(self, resolution: int, max_verts: int):
+        """(mv, bc) to dispatch with at this resolution (cache-warmed)."""
+        from sculptmate_tpu.geometry.marching_cubes import default_block_capacity
+
+        if not hasattr(self, "_wire_cap_cache"):
+            self._wire_cap_cache = {}
+        cached = self._wire_cap_cache.get(resolution)
+        if cached is not None:
+            return max(max_verts, cached[0]), cached[1]
+        return max_verts, default_block_capacity(resolution, max_verts)
+
+    def _wire_caps_store(self, resolution, mv, bc, nblocks_seen):
+        # block capacity directly scales the compaction row gathers and
+        # scatters (row-count-bound, ~0.75 us/row): TIGHTEN toward the
+        # observed active-block count (not just grow); an occasional
+        # bigger asset pays one retry. 4096-bucketed so capacity is a
+        # small set of compiled program variants
+        bc_next = max(4096, min(bc, 4096 * -(-int(nblocks_seen * 1.3) // 4096)))
+        self._wire_cap_cache[resolution] = (mv, bc_next)
+
+    @staticmethod
+    def _wire_grown(nv, nblocks, mv_used, mv, bc):
+        """None when the capacities held (counters within mv_used/bc);
+        otherwise the grown (mv, bc) to retry with — overflow is detected
+        from the exact wire counters, never silently truncated."""
+        if nblocks > bc:
+            return mv, max(bc + 1, int(nblocks * 1.2))
+        if nv > mv_used:
+            return max(mv, 65536 * -(-int(1.2 * nv) // 65536)), bc
+        return None
+
+    @staticmethod
+    def _wire_dispatch_async(fut):
+        """Queue every D2H copy of a (possibly split-color) wire result:
+        the color bytes stream while the host decodes the geometry."""
+        for part in fut if isinstance(fut, tuple) else (fut,):
+            part.copy_to_host_async()
+        return fut
+
+    def _wire_decode(self, fut, wire, nv, mv_used, resolution):
+        """wire buffer (+ split color plane) -> (verts world, faces i64,
+        colors f32|None)."""
+        from sculptmate_tpu.geometry import mc_wire
+
+        shape = (resolution, resolution, resolution)
+        verts, faces, _, _ = mc_wire.decode_wire(
+            wire, shape, mv_used, has_colors=False
+        )
+        colors = None
+        if isinstance(fut, tuple) and nv > 0:
+            cb = np.asarray(fut[1])  # overlapped with the rebuild above
+            colors = cb.reshape(3, mv_used)[:, :nv].T.astype(np.float32) / 255.0
+        scale = 2 * self.config.radius / (resolution - 1.0)
+        return verts * scale - self.config.radius, faces.astype(np.int64), colors
+
     def image_to_mesh(
         self,
         images: jnp.ndarray,
@@ -350,7 +410,6 @@ class TSR:
         ``scene_codes`` + ``extract_mesh`` unless per-dispatch latency
         dominates your serving path and the compile is amortized."""
         from sculptmate_tpu.geometry import mc_wire
-        from sculptmate_tpu.geometry.marching_cubes import default_block_capacity
 
         s = self.config.cond_image_size
         if images.shape[1] != s or images.shape[2] != s:
@@ -358,46 +417,24 @@ class TSR:
 
         if max_verts <= 0:
             max_verts = 8 * resolution * resolution
-        if not hasattr(self, "_wire_cap_cache"):
-            self._wire_cap_cache = {}
-        cached = self._wire_cap_cache.get(resolution)
-        if cached is not None:
-            mv, bc = max(max_verts, cached[0]), cached[1]
-        else:
-            mv = max_verts
-            bc = default_block_capacity(resolution, mv)
-
-        shape = (resolution, resolution, resolution)
-        scale = 2 * self.config.radius / (resolution - 1.0)
+        mv, bc = self._wire_caps(resolution, max_verts)
         while True:
-            fut = self._encode_extract_wire_jit(
-                images, resolution, float(threshold), mv,
-                bool(has_vertex_color), bc,
+            fut = self._wire_dispatch_async(
+                self._encode_extract_wire_jit(
+                    images, resolution, float(threshold), mv,
+                    bool(has_vertex_color), bc,
+                )
             )
-            for part in fut if isinstance(fut, tuple) else (fut,):
-                part.copy_to_host_async()
-            split = isinstance(fut, tuple)
-            wire = np.asarray(fut[0] if split else fut)
+            wire = np.asarray(fut[0] if isinstance(fut, tuple) else fut)
             nv, nblocks = (
                 int(c) for c in mc_wire.wire_counts(wire, mc_wire.N_WIRE_COUNTS)
             )
-            if nblocks > bc:
-                bc = max(bc + 1, int(nblocks * 1.2))
-            elif nv > mv:
-                mv = max(mv, 65536 * -(-int(1.2 * nv) // 65536))
-            else:
+            grown = self._wire_grown(nv, nblocks, mv, mv, bc)
+            if grown is None:
                 break
-        bc_next = max(4096, min(bc, 4096 * -(-int(nblocks * 1.3) // 4096)))
-        self._wire_cap_cache[resolution] = (mv, bc_next)
-
-        verts, faces, _, _ = mc_wire.decode_wire(
-            wire, shape, mv, has_colors=False
-        )
-        colors = None
-        if split and nv > 0:
-            cb = np.asarray(fut[1])  # overlapped with the rebuild above
-            colors = cb.reshape(3, mv)[:, :nv].T.astype(np.float32) / 255.0
-        return verts * scale - self.config.radius, faces.astype(np.int64), colors
+            mv, bc = grown
+        self._wire_caps_store(resolution, mv, bc, nblocks)
+        return self._wire_decode(fut, wire, nv, mv, resolution)
 
     def _color_query(self, scene_code, weights, spec, wx, wy, wz):
         """Trace-time chunked color-MLP query at world positions -> (3, N)."""
@@ -623,80 +660,39 @@ class TSR:
         self, scene_codes, has_vertex_color, resolution, threshold, max_verts
     ):
         from sculptmate_tpu.geometry import mc_wire
-        from sculptmate_tpu.geometry.marching_cubes import default_block_capacity
 
         if max_verts <= 0:
             max_verts = 8 * resolution * resolution
-        if not hasattr(self, "_wire_cap_cache"):
-            self._wire_cap_cache = {}
-        cached = self._wire_cap_cache.get(resolution)
-
-        shape = (resolution, resolution, resolution)
-        if cached is not None:
-            mv, bc = max(max_verts, cached[0]), cached[1]
-        else:
-            mv = max_verts
-            bc = default_block_capacity(resolution, mv)
+        mv, bc = self._wire_caps(resolution, max_verts)
         nblocks_seen = 0
 
         def dispatch(code, mv, bc):
-            res = self._extract_wire_jit(
-                code, resolution, float(threshold), mv,
-                bool(has_vertex_color), bc,
+            return self._wire_dispatch_async(
+                self._extract_wire_jit(
+                    code, resolution, float(threshold), mv,
+                    bool(has_vertex_color), bc,
+                )
             )
-            # queue BOTH D2H copies immediately: the color bytes stream
-            # while the host decodes faces from the geometry sections
-            for part in res if isinstance(res, tuple) else (res,):
-                part.copy_to_host_async()
-            return res
 
         # pipeline: enqueue every asset's device program up front (jax
         # dispatch is async), so asset i's D2H fetch + native rebuild
         # overlaps asset i+1's device compute
         pending = [(dispatch(code, mv, bc), mv) for code in scene_codes]
 
-        scale = 2 * self.config.radius / (resolution - 1.0)
         out = []
         for i, scene_code in enumerate(scene_codes):
             while True:
                 fut, mv_used = pending[i]
-                split = isinstance(fut, tuple)
-                wire = np.asarray(fut[0] if split else fut)
+                wire = np.asarray(fut[0] if isinstance(fut, tuple) else fut)
                 nv, nblocks = (
                     int(c) for c in mc_wire.wire_counts(wire, mc_wire.N_WIRE_COUNTS)
                 )
-                # overflow detected, never silently truncated
-                if nblocks > bc:
-                    bc = max(bc + 1, int(nblocks * 1.2))
-                elif nv > mv_used:
-                    mv = max(mv, 65536 * -(-int(1.2 * nv) // 65536))
-                else:
+                grown = self._wire_grown(nv, nblocks, mv_used, mv, bc)
+                if grown is None:
                     nblocks_seen = max(nblocks_seen, nblocks)
                     break
+                mv, bc = grown
                 pending[i] = (dispatch(scene_code, mv, bc), mv)
-            # block capacity directly scales the compaction row gathers and
-            # scatters (row-count-bound, ~0.75 us/row): TIGHTEN toward the
-            # observed active-block count (not just grow); an occasional
-            # bigger asset pays one retry. 4096-bucketed so capacity is a
-            # small set of compiled program variants
-            bc_next = max(4096, min(bc, 4096 * -(-int(nblocks_seen * 1.3) // 4096)))
-            self._wire_cap_cache[resolution] = (mv, bc_next)
-
-            verts, faces, _, _ = mc_wire.decode_wire(
-                wire, shape, mv_used, has_colors=not split and bool(has_vertex_color)
-            )
-            colors = None
-            if split and nv > 0:
-                cb = np.asarray(fut[1])  # overlapped with the rebuild above
-                colors = (
-                    cb.reshape(3, mv_used)[:, :nv].T.astype(np.float32) / 255.0
-                )
-            verts_world = verts * scale - self.config.radius
-            out.append(
-                (
-                    verts_world,
-                    faces.astype(np.int64),
-                    colors if (has_vertex_color and nv > 0) else None,
-                )
-            )
+            self._wire_caps_store(resolution, mv, bc, nblocks_seen)
+            out.append(self._wire_decode(fut, wire, nv, mv_used, resolution))
         return out

@@ -38,12 +38,26 @@ def test_bad_prebuilt_so_rebuilds_into_user_cache(tmp_path, monkeypatch):
         lib = native.load_native("tiny_addone")
         assert lib is not None, "loader cached None instead of rebuilding"
         assert lib.addone(2) == 3
-        cached = cache_root / "sculptmate_tpu" / "native" / "libtiny_addone.so"
+        # the -march=native cache build carries a host-CPU tag in its name
+        # (a shared cache dir must never hand an AVX-512 ELF to another CPU)
+        cached = (
+            cache_root
+            / "sculptmate_tpu"
+            / "native"
+            / f"libtiny_addone.{native._host_tag()}.so"
+        )
         assert cached.is_file()
         # and the corrupt shipped blob was left alone (read-only installs)
         assert bad.read_bytes().startswith(b"\x7fNOT-AN-ELF")
     finally:
         native._LIBS.pop("tiny_addone", None)
+
+
+def test_host_tag_is_stable_and_filename_safe():
+    from sculptmate_tpu.geometry import native
+
+    t1, t2 = native._host_tag(), native._host_tag()
+    assert t1 == t2 and len(t1) == 10 and t1.isalnum()
 
 
 def test_missing_source_and_lib_caches_none(tmp_path, monkeypatch):

@@ -58,6 +58,9 @@ def _tensor_proto(name: str, arr: np.ndarray, encoding: str = "raw") -> bytes:
     elif encoding == "int64_data":  # packed varints, field 7
         payload = b"".join(_varint(int(v)) for v in arr.ravel())
         msg += _ld(7, payload)
+    elif encoding == "int32_data":  # packed varints, field 5
+        payload = b"".join(_varint(int(v)) for v in arr.ravel())
+        msg += _ld(5, payload)
     else:
         raise AssertionError(encoding)
     return bytes(msg)
@@ -114,6 +117,22 @@ def test_reader_roundtrip_all_encodings(tmp_path):
     got = read_initializers(str(p))
     np.testing.assert_array_equal(got["a"], tensors["w.f32"])
     np.testing.assert_array_equal(got["b"], tensors["w.i64"])
+
+
+def test_reader_int32_data_negative_values(tmp_path):
+    """int32/int8 in the int32_data field: protobuf encodes negatives as
+    64-bit two's complement varints — the fold must happen at 2^63, not
+    2^31 (a 2^32 fold decoded -1 to garbage)."""
+    tensors = {
+        "neg.i32": np.asarray([-1, -(2**31), 2**31 - 1, 0, 7], np.int32),
+        "neg.i8": np.asarray([-1, -128, 127, 0], np.int8),
+    }
+    p = tmp_path / "neg.onnx"
+    write_onnx(p, tensors, encoding="int32_data")
+    got = read_initializers(str(p))
+    for k in tensors:
+        assert got[k].dtype == tensors[k].dtype, k
+        np.testing.assert_array_equal(got[k], tensors[k], err_msg=k)
 
 
 def test_reader_rejects_non_onnx(tmp_path):
