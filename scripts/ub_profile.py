@@ -1,0 +1,159 @@
+"""Split-timing probe for the fused unwrap+bake program: upload / device
+compute / D2H fetch / host decode, on the same decimated mesh run_image
+produces. Run on an idle TPU."""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import sculptmate_tpu  # noqa: F401
+from sculptmate_tpu.systems.sf3d import SF3D
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def main():
+    log(f"devices: {jax.devices()}")
+    sf3d = SF3D()
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((1, 512, 512, 4), np.float32))
+    mask, rgb = sf3d.prepare_image(img)
+    codes, _ = sf3d.get_scene_codes(rgb)
+    est = sf3d._estimate(sf3d.params, rgb * mask)
+    global_dict = {
+        "decoder_roughness": est["decoder_roughness"],
+        "decoder_metallic": est["decoder_metallic"],
+    }
+
+    from sculptmate_tpu.ops.density_grid import (
+        lattice_coords_tets,
+        query_grid_multihead,
+    )
+
+    heads = sf3d._head_weights(["density"])
+    g = query_grid_multihead(
+        codes[0], heads, lattice_coords_tets(sf3d.config.isosurface_resolution),
+        sf3d.grid_spec(slab=7),
+    )
+    d = np.exp(np.asarray(g["density"][0]) - 1.0)
+    thr = float(np.quantile(d, 0.99))
+
+    # extraction + decimation exactly as run_image does
+    from sculptmate_tpu.geometry import mt_wire
+    from sculptmate_tpu.geometry.decimate import decimate
+    from sculptmate_tpu.geometry.marching_tets import (
+        default_block_capacity,
+        lattice_size,
+    )
+    from sculptmate_tpu.geometry.mesh import Mesh
+
+    c = sf3d.config
+    res = c.isosurface_resolution
+    N = lattice_size(res)
+    max_verts, block_cap = 24 * N * N, default_block_capacity(res, "verts")
+    weld_eps = float(c.weld_eps)
+    while True:
+        wire = np.asarray(
+            sf3d._extract_wire_jit(codes[0], thr, max_verts, block_cap, weld_eps)
+        )
+        nvr, nblk = (
+            int(x) for x in mt_wire.wire_counts(wire, mt_wire.N_WIRE_COUNTS)
+        )
+        if nblk > block_cap:
+            block_cap = 2 * max(block_cap, nblk)
+            continue
+        if nvr <= max_verts:
+            break
+        max_verts = max(max_verts, 65536 * -(-int(1.2 * nvr) // 65536))
+    lverts, faces, _ = mt_wire.decode_wire(wire, res, max_verts, weld=True)
+    verts = lverts * (2 * c.radius) - c.radius
+    vertex_count = round(0.75 * nvr)
+    verts, faces, v_nrm = decimate(
+        verts, faces, target_ratio=vertex_count / len(verts), return_normals=True
+    )
+    mesh = Mesh(verts, faces.astype(np.int64))
+    mesh._v_nrm = v_nrm
+    log(f"mesh: {len(mesh.v_pos)} verts, {len(mesh.t_pos_idx)} faces")
+
+    # warm call populates _ub_caps + compiles
+    t0 = time.perf_counter()
+    uv_flat, textures = sf3d.unwrap_bake(
+        mesh.v_pos, mesh.v_nrm, mesh.t_pos_idx, codes[0], global_dict, 512
+    )
+    log(f"warm unwrap_bake: {time.perf_counter()-t0:.1f}s")
+    # second warm call so the shrunk-capacity program is compiled too
+    t0 = time.perf_counter()
+    sf3d.unwrap_bake(
+        mesh.v_pos, mesh.v_nrm, mesh.t_pos_idx, codes[0], global_dict, 512
+    )
+    log(f"warm2 unwrap_bake: {time.perf_counter()-t0:.1f}s")
+
+    # --- now split-time the internals (mirrors unwrap_bake's prep) ------
+    from sculptmate_tpu.geometry.uv_unwrap import _main_axis_rotation
+    from sculptmate_tpu.ops import size_bucket
+
+    v_pos = np.asarray(mesh.v_pos, np.float32)
+    v_nrm = np.asarray(mesh.v_nrm, np.float32)
+    faces = np.asarray(mesh.t_pos_idx)
+    rot = _main_axis_rotation(v_pos)
+    rp = v_pos @ rot.T
+    rn = v_nrm @ rot.T
+    nv, nf = len(v_pos), len(faces)
+    nb, fb_ = size_bucket(nv), size_bucket(nf)
+    bb_min = rp.min(axis=0)
+    bb_max = rp.max(axis=0)
+    bb_rng = np.maximum(bb_max - bb_min, 1e-12)
+    attrs = np.zeros((6, nb), np.uint16)
+    attrs[0:3, :nv] = np.round((rp - bb_min) / bb_rng * 65535.0).astype(np.uint16).T
+    attrs[3:6, :nv] = np.round((np.clip(rn, -1, 1) + 1) * 0.5 * 65535.0).astype(np.uint16).T
+    fcomp = np.zeros((3, fb_), np.int32)
+    fcomp[:, :nf] = faces.T
+    rm_bbox_rot = np.concatenate([
+        np.asarray([
+            float(np.asarray(global_dict["decoder_roughness"]).reshape(())),
+            float(np.asarray(global_dict["decoder_metallic"]).reshape(())),
+        ], np.float32),
+        bb_min.astype(np.float32), bb_max.astype(np.float32),
+        rot.astype(np.float32).reshape(-1),
+    ])
+    packed = np.empty(6 * nb + 6 * fb_ + 38, np.uint16)
+    packed[: 6 * nb] = attrs.reshape(-1)
+    packed[6 * nb : 6 * nb + 3 * fb_] = (fcomp & 0xFFFF).astype(np.uint16).reshape(-1)
+    packed[6 * nb + 3 * fb_ : 6 * nb + 6 * fb_] = (fcomp >> 16).astype(np.uint16).reshape(-1)
+    bits = rm_bbox_rot.astype(np.float32).view(np.uint32)
+    packed[-38:-4:2] = (bits & 0xFFFF).astype(np.uint16)
+    packed[-37:-4:2] = (bits >> 16).astype(np.uint16)
+    packed[-4] = nv & 0xFFFF
+    packed[-3] = nv >> 16
+    packed[-2] = nf & 0xFFFF
+    packed[-1] = nf >> 16
+
+    caps = sf3d._ub_caps[512]
+    log(f"caps: {caps}, upload {packed.nbytes/1e6:.1f} MB, nb={nb} fb={fb_}")
+
+    for it in range(3):
+        t0 = time.perf_counter()
+        packed_dev = jnp.asarray(packed)
+        np.asarray(packed_dev[-1])  # force upload completion
+        t1 = time.perf_counter()
+        wire = sf3d._unwrap_bake_jit(
+            codes[0], packed_dev, nb, fb_, 512, 0.02, caps
+        )
+        np.asarray(wire[-1])  # force execution, fetch 1 byte
+        t2 = time.perf_counter()
+        host = np.asarray(wire)  # full fetch
+        t3 = time.perf_counter()
+        log(
+            f"iter{it}: upload {1e3*(t1-t0):.0f} ms, compute {1e3*(t2-t1):.0f} ms, "
+            f"fetch {1e3*(t3-t2):.0f} ms ({host.nbytes/1e6:.1f} MB)"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -429,8 +429,13 @@ class SF3D:
         from sculptmate_tpu.geometry import mt_wire
         from sculptmate_tpu.geometry.marching_tets import default_block_capacity
 
+        from sculptmate_tpu.runtime import capacity_cache
+
         if not hasattr(self, "_cap_cache"):
-            self._cap_cache = (24 * N * N, default_block_capacity(res, "verts"))
+            self._cap_cache = capacity_cache.load(f"sf3d_mt_r{res}") or (
+                24 * N * N,
+                default_block_capacity(res, "verts"),
+            )
         max_verts, block_cap = self._cap_cache
         weld_eps = float(c.weld_eps)
         stage_extract = stage("extract")
@@ -452,6 +457,7 @@ class SF3D:
                 break
             max_verts = max(max_verts, 65536 * -(-int(1.2 * nv) // 65536))
         self._cap_cache = (max_verts, block_cap)
+        capacity_cache.store(f"sf3d_mt_r{res}", self._cap_cache)
         if nv == 0:
             stage_extract.__exit__(None, None, None)
             return None
@@ -902,7 +908,17 @@ class SF3D:
         # wire counters and retried, never truncated.
         if not hasattr(self, "_ub_caps"):
             self._ub_caps = {}
-        cached = self._ub_caps.get(bake_resolution)
+        # keyed by (bake res, face bucket): fb_ is a static program arg, so
+        # distinct mesh-size buckets are distinct programs with their own
+        # observed capacities; persisted so a fresh process starts at the
+        # steady-state capacities instead of the 20-40x defaults
+        from sculptmate_tpu.runtime import capacity_cache
+
+        ub_key = (bake_resolution, fb_)
+        ub_pkey = f"sf3d_ub_{bake_resolution}_{fb_}"
+        cached = self._ub_caps.get(ub_key)
+        if cached is None:
+            cached = capacity_cache.load(ub_pkey)
         first_success_shrinks = cached is None
         if cached is not None:
             u_pair, u_pair2, u_multi, b_pair, b_pair2 = cached
@@ -1007,7 +1023,8 @@ class SF3D:
                     _PAIR2_CHUNK,
                     -(-int(bk_coarse * 1.5) // _PAIR2_CHUNK) * _PAIR2_CHUNK,
                 )
-        self._ub_caps[bake_resolution] = (u_pair, u_pair2, u_multi, b_pair, b_pair2)
+        self._ub_caps[ub_key] = (u_pair, u_pair2, u_multi, b_pair, b_pair2)
+        capacity_cache.store(ub_pkey, self._ub_caps[ub_key])
 
         if prof:
             print(f"[unwrap_bake] jit+fetch: {(_time.perf_counter()-t0)*1e3:.0f} ms")

@@ -340,9 +340,13 @@ class TSR:
         """(mv, bc) to dispatch with at this resolution (cache-warmed)."""
         from sculptmate_tpu.geometry.marching_cubes import default_block_capacity
 
+        from sculptmate_tpu.runtime import capacity_cache
+
         if not hasattr(self, "_wire_cap_cache"):
             self._wire_cap_cache = {}
         cached = self._wire_cap_cache.get(resolution)
+        if cached is None:
+            cached = capacity_cache.load(f"tsr_wire_r{resolution}")
         if cached is not None:
             return max(max_verts, cached[0]), cached[1]
         return max_verts, default_block_capacity(resolution, max_verts)
@@ -355,6 +359,9 @@ class TSR:
         # small set of compiled program variants
         bc_next = max(4096, min(bc, 4096 * -(-int(nblocks_seen * 1.3) // 4096)))
         self._wire_cap_cache[resolution] = (mv, bc_next)
+        from sculptmate_tpu.runtime import capacity_cache
+
+        capacity_cache.store(f"tsr_wire_r{resolution}", (mv, bc_next))
 
     @staticmethod
     def _wire_grown(nv, nblocks, mv_used, mv, bc):
@@ -595,9 +602,15 @@ class TSR:
 
         # remember capacities that worked at this resolution so later calls
         # skip the overflow-retry extraction (a production server warms once)
+        from sculptmate_tpu.runtime import capacity_cache
+
         if not hasattr(self, "_cap_cache"):
             self._cap_cache = {}
         cached = self._cap_cache.get(resolution)
+        if cached is None:
+            p = capacity_cache.load(f"tsr_packed_r{resolution}")
+            if p is not None:
+                cached = (p[0], p[1], p[2], bool(p[3]))
 
         NB = (resolution // 8) ** 3
         out = []
@@ -641,6 +654,9 @@ class TSR:
                 mf = max(mf, up64k(int(1.2 * nf)))
             self._cap_cache[resolution] = (mv, mf, bc, dense)
             cached = self._cap_cache[resolution]
+            capacity_cache.store(
+                f"tsr_packed_r{resolution}", (mv, mf, bc, int(dense))
+            )
 
             verts_world = packed[:, :mv].T[:nv].copy()
             off = mv

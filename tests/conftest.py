@@ -11,6 +11,13 @@ flag before jax import AND re-update jax.config afterwards.
 """
 
 import os
+import tempfile
+
+# hermetic capacity-cache store: tests must not read capacities observed by
+# production runs (or each other's runs across sessions)
+os.environ.setdefault(
+    "SCULPTMATE_CAP_CACHE", tempfile.mkdtemp(prefix="sm_capcache_")
+)
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
