@@ -133,7 +133,7 @@ def main():
     packed[-2] = nf & 0xFFFF
     packed[-1] = nf >> 16
 
-    caps = sf3d._ub_caps[512]
+    caps = sf3d._ub_caps[(512, fb_)]
     log(f"caps: {caps}, upload {packed.nbytes/1e6:.1f} MB, nb={nb} fb={fb_}")
 
     for it in range(3):

@@ -216,8 +216,11 @@ def query_points_multihead(
     cd = spec.compute_dtype
     act = get_activation(spec.activation)
     r = spec.radius
+    # cast the planes BEFORE the scattered sample: the bilinear taps are the
+    # bandwidth-bound step, so gathering cd-width elements halves it at bf16
+    # (the tap weights stay f32; the product upcasts, then re-narrows)
     feats = sample_triplane(
-        triplane, px / r, py / r, pz / r, spec.align_corners
+        triplane.astype(cd), px / r, py / r, pz / r, spec.align_corners
     ).astype(cd)  # (3C, N)
     out = {}
     for name, weights in head_weights.items():

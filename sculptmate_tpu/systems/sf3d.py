@@ -233,9 +233,17 @@ class SF3D:
         seed: int = 0,
         dtype: jnp.dtype = jnp.bfloat16,
         tp_axis: Optional[str] = None,
+        extract_dtype: Optional[jnp.dtype] = None,
     ):
         self.config = config or SF3DConfig()
         self.module = SF3DModule(self.config, dtype=dtype, tp_axis=tp_axis)
+        # density/material grid compute dtype for the production extraction
+        # and bake paths; follows the model dtype like TSR.extract_dtype —
+        # bf16 halves the 161^3 two-head MLP sweep and the bake's texel
+        # query (f32 MXU accumulate), with field error ~2e-3, far below the
+        # u16 snap quantization (extraction) and u8 texture quantization
+        # (bake) downstream. Pass extract_dtype=jnp.float32 to opt out.
+        self.extract_dtype = extract_dtype if extract_dtype is not None else dtype
         if params is None:
             c = self.config
             dummy_img = jnp.zeros((1, c.cond_image_size, c.cond_image_size, 3), jnp.float32)
@@ -285,7 +293,7 @@ class SF3D:
         N = lattice_size(res)
         # lattice size 161 = 7 * 23: slab must divide it
         slab = 7 if N % 7 == 0 else 1
-        spec = self.grid_spec(slab=slab)
+        spec = self.grid_spec(slab=slab, compute_dtype=self.extract_dtype)
         heads = self._head_weights(["density", "vertex_offset"])
         coords = lattice_coords_tets(res)
         grids = query_grid_multihead(scene_code, heads, coords, spec)
@@ -314,7 +322,7 @@ class SF3D:
         res = c.isosurface_resolution
         N = lattice_size(res)
         slab = 7 if N % 7 == 0 else 1
-        spec = self.grid_spec(slab=slab)
+        spec = self.grid_spec(slab=slab, compute_dtype=self.extract_dtype)
         heads = self._head_weights(["density", "vertex_offset"])
         coords = lattice_coords_tets(res)
         grids = query_grid_multihead(scene_code, heads, coords, spec)
@@ -632,15 +640,16 @@ class SF3D:
         pos_cf = jnp.stack(pos_v)  # (3, Nv)
         pos = texture_bake.interpolate_device(pos_cf, rast, fa, fb, fc)
 
-        def corner(arr, f):
-            return arr[f[tid]]  # (T,) gather at winner faces
-
-        p0 = jnp.stack([corner(c, fa) for c in pos_v])  # (3, T)
-        p1 = jnp.stack([corner(c, fb) for c in pos_v])
-        p2 = jnp.stack([corner(c, fc) for c in pos_v])
-        uv0 = jnp.stack([uc[0][tid], vc[0][tid]])  # (2, T)
-        uv1 = jnp.stack([uc[1][tid], vc[1][tid]])
-        uv2 = jnp.stack([uc[2][tid], vc[2][tid]])
+        # winner-face corner gathers as row-stacked takes (one (3, Nv) take
+        # per corner + one (6, F) take for uvs — ~3x the per-row gather rate)
+        ia, ib, ic = fa[tid], fb[tid], fc[tid]
+        p0 = jnp.take(pos_cf, ia, axis=1)  # (3, T)
+        p1 = jnp.take(pos_cf, ib, axis=1)
+        p2 = jnp.take(pos_cf, ic, axis=1)
+        uv_rows = jnp.take(
+            jnp.stack([uc[0], vc[0], uc[1], vc[1], uc[2], vc[2]]), tid, axis=1
+        )  # (6, T)
+        uv0, uv1, uv2 = uv_rows[0:2], uv_rows[2:4], uv_rows[4:6]
 
         flat = lambda a: a.reshape(3, -1)
         px, py, pz = flat(pos)
@@ -687,7 +696,7 @@ class SF3D:
     def _surface_query(self, scene_code, px, py, pz):
         """Material query at baked surface positions (chunked, trace-time)."""
         heads = self._head_weights(["features", "perturb_normal"])
-        spec = self.grid_spec()
+        spec = self.grid_spec(compute_dtype=self.extract_dtype)
         n = px.shape[0]
         chunk = 65536 if (n > 65536 and n % 65536 == 0) else n
 
@@ -915,7 +924,8 @@ class SF3D:
         from sculptmate_tpu.runtime import capacity_cache
 
         ub_key = (bake_resolution, fb_)
-        ub_pkey = f"sf3d_ub_{bake_resolution}_{fb_}"
+        # the tile size changes what the pair counters count — tag the key
+        ub_pkey = f"sf3d_ub_t{texture_bake.TILE}_{bake_resolution}_{fb_}"
         cached = self._ub_caps.get(ub_key)
         if cached is None:
             cached = capacity_cache.load(ub_pkey)

@@ -154,6 +154,65 @@ def test_fused_unwrap_bake_matches_staged(tiny_sf3d, rng, monkeypatch):
         assert np.quantile(diff, 0.9) < 0.1, np.quantile(diff, 0.9)
 
 
+def test_bf16_grid_and_point_query_error_bounded(tiny_sf3d, rng):
+    """The production TPU paths run the density/material queries in bf16
+    (``SF3D.extract_dtype`` follows the model dtype): the field error vs f32
+    must stay well below the downstream u16 snap / u8 texture quantization."""
+    import jax.numpy as jnp
+
+    from sculptmate_tpu.ops.density_grid import (
+        lattice_coords_tets,
+        query_grid_multihead,
+        query_points_multihead,
+    )
+
+    img = jnp.asarray(rng.random((1, 56, 56, 4)), jnp.float32)
+    codes, _ = tiny_sf3d.get_scene_codes(tiny_sf3d.prepare_image(img)[1])
+    heads = tiny_sf3d._head_weights(["density", "vertex_offset"])
+    coords = lattice_coords_tets(tiny_sf3d.config.isosurface_resolution)
+    g32 = query_grid_multihead(codes[0], heads, coords, tiny_sf3d.grid_spec(slab=1))
+    gbf = query_grid_multihead(
+        codes[0], heads, coords,
+        tiny_sf3d.grid_spec(slab=1, compute_dtype=jnp.bfloat16),
+    )
+    for name in g32:
+        for a32, abf in zip(g32[name], gbf[name]):
+            a32, abf = np.asarray(a32), np.asarray(abf)
+            scale = max(float(np.abs(a32).max()), 1e-3)
+            assert np.abs(abf - a32).max() / scale < 2e-2, name
+
+    # scattered-point (bake) query: same bound
+    heads_m = tiny_sf3d._head_weights(["features", "perturb_normal"])
+    n = 4096
+    p = (rng.random((3, n)).astype(np.float32) * 2 - 1) * (
+        tiny_sf3d.config.radius * 0.9
+    )
+    q32 = query_points_multihead(
+        codes[0], heads_m, *(jnp.asarray(c) for c in p), tiny_sf3d.grid_spec()
+    )
+    qbf = query_points_multihead(
+        codes[0], heads_m, *(jnp.asarray(c) for c in p),
+        tiny_sf3d.grid_spec(compute_dtype=jnp.bfloat16),
+    )
+    for name in q32:
+        a32, abf = np.asarray(q32[name]), np.asarray(qbf[name])
+        scale = max(float(np.abs(a32).max()), 1e-3)
+        assert np.abs(abf - a32).max() / scale < 2e-2, name
+
+    # the extract_dtype knob plumbs through run_image: bf16 extraction on
+    # the same params yields a near-identical mesh (iso crossings may shift
+    # within the bf16 field error)
+    sf_bf = SF3D(
+        tiny_sf3d.config, params=tiny_sf3d.params, dtype=jnp.float32,
+        extract_dtype=jnp.bfloat16,
+    )
+    thr = _threshold_for(tiny_sf3d, img)
+    m32 = tiny_sf3d.run_image(img, threshold=thr, enable_texture=False)
+    mbf = sf_bf.run_image(img, threshold=thr, enable_texture=False)
+    assert m32 is not None and mbf is not None
+    assert abs(len(mbf["verts"]) - len(m32["verts"])) <= 0.05 * len(m32["verts"])
+
+
 def test_triplane_attention_full_attention_branch(rng):
     """The full_attention=True branch was unexercised and once crashed on a
     missing module field; keep a smoke forward over it."""
