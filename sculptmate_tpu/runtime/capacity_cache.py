@@ -62,6 +62,29 @@ def load(key: str) -> Optional[Tuple[int, ...]]:
     return tuple(vals)
 
 
+def tighten(
+    current: int,
+    observed: int,
+    *,
+    slack: float = 1.35,
+    bucket: int = 65536,
+    shrink_at: float = 2.0,
+) -> int:
+    """Capacity to persist after a SUCCESSFUL run that observed ``observed``
+    live entries. Capacities only ever grew on overflow, so one giant asset
+    permanently poisoned the cache: every later dispatch paid its buffer in
+    scatter updates and D2H bytes (a 17 M-vert capacity from one noise mesh
+    made a 2.9 M-vert extraction fetch ~200 MB instead of ~40 MB, +5 s
+    through the tunnel). Shrink back toward ``slack * observed``
+    (bucket-rounded, so capacities stay a small set of compiled program
+    variants) — but only when the overshoot exceeds ``shrink_at`` x the
+    target (hysteresis: normal asset-to-asset fluctuation must not flap the
+    capacity and recompile every call). A later bigger asset costs one
+    detected-overflow retry, never a truncation."""
+    target = max(bucket, bucket * -(-int(slack * observed) // bucket))
+    return target if current > shrink_at * target else current
+
+
 def store(key: str, caps: Sequence[int]) -> None:
     """Read-modify-write with an atomic replace; a lost race between two
     processes drops one update, never corrupts the file."""

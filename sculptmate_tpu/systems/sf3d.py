@@ -464,7 +464,13 @@ class SF3D:
             if nv <= max_verts:
                 break
             max_verts = max(max_verts, 65536 * -(-int(1.2 * nv) // 65536))
-        self._cap_cache = (max_verts, block_cap)
+        # tighten toward the observed counts (hysteresis in tighten()) so
+        # one giant mesh can't permanently inflate every later fetch; the
+        # decode below still uses the capacities this wire was built with
+        self._cap_cache = (
+            capacity_cache.tighten(max_verts, nv),
+            capacity_cache.tighten(block_cap, nblk, slack=1.3, bucket=4096),
+        )
         capacity_cache.store(f"sf3d_mt_r{res}", self._cap_cache)
         if nv == 0:
             stage_extract.__exit__(None, None, None)

@@ -351,17 +351,20 @@ class TSR:
             return max(max_verts, cached[0]), cached[1]
         return max_verts, default_block_capacity(resolution, max_verts)
 
-    def _wire_caps_store(self, resolution, mv, bc, nblocks_seen):
+    def _wire_caps_store(self, resolution, mv, nv_seen, bc, nblocks_seen):
         # block capacity directly scales the compaction row gathers and
         # scatters (row-count-bound, ~0.75 us/row): TIGHTEN toward the
         # observed active-block count (not just grow); an occasional
         # bigger asset pays one retry. 4096-bucketed so capacity is a
         # small set of compiled program variants
-        bc_next = max(4096, min(bc, 4096 * -(-int(nblocks_seen * 1.3) // 4096)))
-        self._wire_cap_cache[resolution] = (mv, bc_next)
         from sculptmate_tpu.runtime import capacity_cache
 
-        capacity_cache.store(f"tsr_wire_r{resolution}", (mv, bc_next))
+        bc_next = max(4096, min(bc, 4096 * -(-int(nblocks_seen * 1.3) // 4096)))
+        # mv sizes the wire buffer and hence the D2H fetch: shrink it back
+        # (with hysteresis) so one giant asset can't tax every later fetch
+        mv_next = capacity_cache.tighten(mv, nv_seen)
+        self._wire_cap_cache[resolution] = (mv_next, bc_next)
+        capacity_cache.store(f"tsr_wire_r{resolution}", (mv_next, bc_next))
 
     @staticmethod
     def _wire_grown(nv, nblocks, mv_used, mv, bc):
@@ -440,7 +443,7 @@ class TSR:
             if grown is None:
                 break
             mv, bc = grown
-        self._wire_caps_store(resolution, mv, bc, nblocks)
+        self._wire_caps_store(resolution, mv, nv, bc, nblocks)
         return self._wire_decode(fut, wire, nv, mv, resolution)
 
     def _color_query(self, scene_code, weights, spec, wx, wy, wz):
@@ -652,10 +655,21 @@ class TSR:
                     break
                 mv = max(mv, up64k(int(1.2 * nv)))
                 mf = max(mf, up64k(int(1.2 * nf)))
-            self._cap_cache[resolution] = (mv, mf, bc, dense)
+            # tighten toward this asset's observed counts (hysteresis in
+            # tighten()) so one giant asset can't permanently inflate the
+            # packed buffer (its capacity is paid in scatter updates AND
+            # D2H bytes on every later call); the slices below still use
+            # the mv/mf this packed buffer was built with. mf must also
+            # cover the 2.2x ncells working margin the grow path keeps.
+            t_mv = capacity_cache.tighten(mv, nv)
+            t_mf = capacity_cache.tighten(mf, max(nf, int(2.2 * ncells)))
+            t_bc = bc if dense else capacity_cache.tighten(
+                bc, nblocks, slack=1.3, bucket=4096
+            )
+            self._cap_cache[resolution] = (t_mv, t_mf, t_bc, dense)
             cached = self._cap_cache[resolution]
             capacity_cache.store(
-                f"tsr_packed_r{resolution}", (mv, mf, bc, int(dense))
+                f"tsr_packed_r{resolution}", (t_mv, t_mf, t_bc, int(dense))
             )
 
             verts_world = packed[:, :mv].T[:nv].copy()
@@ -681,6 +695,7 @@ class TSR:
             max_verts = 8 * resolution * resolution
         mv, bc = self._wire_caps(resolution, max_verts)
         nblocks_seen = 0
+        nv_seen = 0
 
         def dispatch(code, mv, bc):
             return self._wire_dispatch_async(
@@ -706,9 +721,10 @@ class TSR:
                 grown = self._wire_grown(nv, nblocks, mv_used, mv, bc)
                 if grown is None:
                     nblocks_seen = max(nblocks_seen, nblocks)
+                    nv_seen = max(nv_seen, nv)
                     break
                 mv, bc = grown
                 pending[i] = (dispatch(scene_code, mv, bc), mv)
-            self._wire_caps_store(resolution, mv, bc, nblocks_seen)
+            self._wire_caps_store(resolution, mv, nv_seen, bc, nblocks_seen)
             out.append(self._wire_decode(fut, wire, nv, mv_used, resolution))
         return out

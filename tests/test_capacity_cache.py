@@ -61,6 +61,32 @@ def test_atomic_write_leaves_no_temp_files(cap_dir):
     assert leftovers == []
 
 
+def test_tighten_shrinks_poisoned_capacity():
+    # one 14M-vert noise mesh inflated the cap; a 2.9M-vert asset must
+    # shrink it back to ~1.35x observed (bucket-rounded)
+    cap = capacity_cache.tighten(17_104_896, 2_900_000)
+    assert cap == 65536 * -(-int(1.35 * 2_900_000) // 65536)
+    assert cap < 4_100_000
+
+
+def test_tighten_hysteresis_keeps_steady_capacity():
+    # normal fluctuation (observed within ~half the capacity) must NOT
+    # flap the capacity — recompiles every call would cost more than the
+    # slack
+    for obs in (2_000_000, 2_400_000, 1_700_000):
+        assert capacity_cache.tighten(4_000_000, obs) == 4_000_000
+    # and a grown-then-matching capacity stays put
+    assert capacity_cache.tighten(3_538_944, 2_900_000) == 3_538_944
+
+
+def test_tighten_floor_and_buckets():
+    # never below one bucket, always bucket-aligned
+    assert capacity_cache.tighten(10_000_000, 0) == 65536
+    assert capacity_cache.tighten(10_000_000, 10, bucket=4096) == 4096
+    c = capacity_cache.tighten(10_000_000, 123_456, bucket=4096, slack=1.3)
+    assert c % 4096 == 0 and c >= int(1.3 * 123_456)
+
+
 def test_unwritable_store_is_best_effort(cap_dir, monkeypatch):
     # root ignores file modes, so simulate the read-only-site-packages case
     # by making the atomic replace fail
