@@ -1,11 +1,30 @@
 """Single-chip benchmark: end-to-end image -> mesh seconds per asset.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+... optional per-config keys ...}.
 
-Pipeline timed (the reference's canonical Lean path, SURVEY.md section 3.2):
+Primary metric (the reference's canonical Lean path, SURVEY.md section 3.2):
 512^2 image -> u2net matting (320^2) -> fused device preprocess -> DINO ViT +
 16-block backbone -> triplane upsample -> fused 256^3 density grid -> device
-marching cubes -> vertex colors -> compacted host arrays.
+marching cubes -> vertex colors -> compacted host arrays. The steady-state
+loop is SOFTWARE-PIPELINED (``TSR.extract_mesh_async``/``extract_mesh_wait``):
+iteration i+1's device programs are enqueued before iteration i's wire fetch,
+so the tunneled D2H transfer (whose latency fluctuates 30-500 ms per sync
+across a session) hides under device compute instead of being serially
+exposed — exactly how a production serving loop runs. Median of 9 iterations;
+``spread`` = (max-min)/median across them.
+
+Additional BASELINE.md configs, each a median of >= 3 and gated by a wall
+-clock budget (``SCULPTMATE_BENCH_BUDGET`` seconds, default 1500) so the
+primary metric always lands:
+
+- ``sf3d_sec_per_asset``: SF3D image -> UV-unwrapped baked textures
+  (config 3; reference operating point ``StableFast/generate.py:34`` +
+  ``sf3d/system.py:308-528``).
+- ``highres512_sec``: 512^3 chunked extraction (config 4; vs the
+  reference's 256^3 x 8192-chunk host loop, ``TripoSR/generate.py:11-13``).
+- ``farm_sec_per_asset``: batched 8-image throughput via the AssetFarm API
+  (config 5) on this chip's 1-device dp mesh.
 
 Baseline: TripoSR ~0.5 s/image on an NVIDIA A100 (arxiv 2403.02151, via
 PAPERS.md; the reference repo itself publishes no numbers — BASELINE.md).
@@ -13,6 +32,7 @@ PAPERS.md; the reference repo itself publishes no numbers — BASELINE.md).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -22,31 +42,22 @@ import numpy as np
 
 BASELINE_SEC_PER_ASSET = 0.5
 RESOLUTION = 256
-THRESHOLD = 25.0
+N_ITERS = 9
+PIPELINE_DEPTH = 2
 
 
-def main():
-    from sculptmate_tpu.frontend.matting import U2NetMatting, U2NET_SIZE
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def bench_lean(tsr, matting):
+    """Primary metric: pipelined steady-state lean-path sec/asset."""
+    from sculptmate_tpu.frontend.matting import U2NET_SIZE
     from sculptmate_tpu.frontend.preprocess import preprocess_batch_device
-    from sculptmate_tpu.systems.tsr import TSR
-
-    dev = jax.devices()[0]
-    print(f"# device: {dev.platform} {getattr(dev, 'device_kind', '')}", file=sys.stderr)
-
-    tsr = TSR(dtype=jnp.bfloat16)
-    matting = U2NetMatting()
 
     rng = np.random.default_rng(0)
     raw = jnp.asarray(rng.random((1, 512, 512, 4), np.float32))
     raw_small = jnp.asarray(rng.random((1, U2NET_SIZE, U2NET_SIZE, 3), np.float32))
-
-    # random weights produce densities ~ exp(x - 1) near 0.37; use a threshold
-    # that actually cuts a surface so MC does real work. The reference's 25.0
-    # presumes trained weights.
-    from sculptmate_tpu.ops.density_grid import (
-        mlp_weights_from_params,
-        query_density_grid,
-    )
 
     @jax.jit
     def make_cond():
@@ -56,65 +67,213 @@ def main():
         rgba = jnp.concatenate([raw[..., :3], alpha], axis=-1)
         return preprocess_batch_device(rgba, ratio=0.75, out_size=512)
 
-    caps = {}
-
-    def run_once():
-        codes = tsr.scene_codes(make_cond())
-        meshes = tsr.extract_mesh(
-            codes,
-            has_vertex_color=True,
-            resolution=RESOLUTION,
-            threshold=float(_threshold),
-            **caps,
-        )
-        return meshes[0]
-
     # calibrate threshold on the SAME conditioning pipeline so the timed
     # extraction cuts a realistically sized surface (random-init weights give
     # a noise-like field; the mean level cuts a pathological ~12M-face
     # surface, the 99th percentile a compact one comparable to a real object)
+    from sculptmate_tpu.ops.density_grid import (
+        mlp_weights_from_params,
+        query_density_grid,
+    )
+
     codes = tsr.scene_codes(make_cond())
     w = mlp_weights_from_params(tsr.params["decoder"]["layers"])
     d = query_density_grid(codes[0], w, tsr.grid_spec(64))
-    _threshold = float(np.quantile(np.asarray(d), 0.99))
+    threshold = float(np.quantile(np.asarray(d), 0.99))
 
-    # warmup (compiles)
-    verts, faces, colors = run_once()
-    print(
-        f"# warmup mesh: {len(verts)} verts {len(faces)} faces", file=sys.stderr
-    )
-    if len(verts) == 0:
-        print("# WARNING: empty benchmark mesh - threshold miscalibrated", file=sys.stderr)
-    # size capacities off the warmup mesh (like a production server would,
-    # per model checkpoint): avoids per-iteration overflow retries and
-    # capacity-inflated transfers (wire mode has no device face buffer, so
-    # only the vertex capacity applies)
-    caps = {
-        "max_verts": 65536 * -(-int(len(verts) * 1.25) // 65536),
-    }
-    verts, faces, colors = run_once()  # warm the final-capacity programs
-    print(f"# capacities: {caps}", file=sys.stderr)
+    cap = 0
 
-    # median of 5: the tunneled-TPU transfer latency fluctuates by ~3x over
-    # hours, and median resists those spikes better than mean
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        verts, faces, colors = run_once()
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
-    print(f"# iteration times: {[round(t, 2) for t in times]}", file=sys.stderr)
-
-    print(
-        json.dumps(
-            {
-                "metric": "e2e_image_to_mesh",
-                "value": round(dt, 4),
-                "unit": "sec/asset",
-                "vs_baseline": round(BASELINE_SEC_PER_ASSET / dt, 3),
-            }
+    def dispatch():
+        codes = tsr.scene_codes(make_cond())
+        return tsr.extract_mesh_async(
+            codes[0],
+            has_vertex_color=True,
+            resolution=RESOLUTION,
+            threshold=threshold,
+            max_verts=cap,
         )
+
+    # warmup (compiles) + capacity sizing off the warmup mesh (like a
+    # production server would, per model checkpoint): avoids per-iteration
+    # overflow retries and capacity-inflated transfers. The explicit cap is
+    # honored as-given — a stale persisted capacity cannot inflate it.
+    verts, faces, colors = tsr.extract_mesh_wait(dispatch())[0]
+    log(f"# warmup mesh: {len(verts)} verts {len(faces)} faces")
+    if len(verts) == 0:
+        log("# WARNING: empty benchmark mesh - threshold miscalibrated")
+    cap = 65536 * -(-int(len(verts) * 1.25) // 65536)
+    verts, faces, colors = tsr.extract_mesh_wait(dispatch())[0]
+    log(f"# capacities: max_verts={cap}")
+
+    # steady state: keep PIPELINE_DEPTH iterations in flight so each wire
+    # fetch + native rebuild overlaps the next iterations' device compute
+    inflight = [dispatch() for _ in range(PIPELINE_DEPTH)]
+    times = []
+    t_prev = time.perf_counter()
+    for _ in range(N_ITERS):
+        inflight.append(dispatch())
+        mesh, _ = tsr.extract_mesh_wait(inflight.pop(0), store=False)
+        t_now = time.perf_counter()
+        times.append(t_now - t_prev)
+        t_prev = t_now
+    for h in inflight:  # drain
+        tsr.extract_mesh_wait(h, store=False)
+
+    dt = float(np.median(times))
+    spread = (max(times) - min(times)) / dt
+    log(f"# iteration times: {[round(t, 3) for t in times]}")
+    log(f"# median {dt:.4f}s spread {spread:.3f}")
+    return {
+        "metric": "e2e_image_to_mesh",
+        "value": round(dt, 4),
+        "unit": "sec/asset",
+        "vs_baseline": round(BASELINE_SEC_PER_ASSET / dt, 3),
+        "iterations": N_ITERS,
+        "spread": round(float(spread), 3),
+    }
+
+
+def bench_sf3d():
+    """Config 3: SF3D image -> UV-unwrapped baked 512^2 PBR textures."""
+    from sculptmate_tpu.systems.sf3d import SF3D
+    from sculptmate_tpu.ops.density_grid import (
+        lattice_coords_tets,
+        query_grid_multihead,
     )
+
+    sf3d = SF3D()
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((1, 512, 512, 4), np.float32))
+
+    mask, rgb = sf3d.prepare_image(img)
+    codes, _ = sf3d.get_scene_codes(rgb)
+    heads = sf3d._head_weights(["density"])
+    g = query_grid_multihead(
+        codes[0], heads, lattice_coords_tets(sf3d.config.isosurface_resolution),
+        sf3d.grid_spec(slab=7),
+    )
+    d = np.exp(np.asarray(g["density"][0]) - 1.0)
+    threshold = float(np.quantile(d, 0.99))
+
+    mesh = sf3d.run_image(img, bake_resolution=512, threshold=threshold)
+    if mesh is None:
+        raise RuntimeError("empty SF3D mesh - threshold miscalibrated")
+    log(
+        f"# sf3d warmup: {len(mesh['verts'])} verts {len(mesh['faces'])} faces"
+    )
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sf3d.run_image(img, bake_resolution=512, threshold=threshold)
+        times.append(time.perf_counter() - t0)
+    log(f"# sf3d times: {[round(t, 2) for t in times]}")
+    return float(np.median(times))
+
+
+def bench_highres(tsr):
+    """Config 4: 512^3 extraction on the lean model, sec/asset."""
+    from sculptmate_tpu.ops.density_grid import (
+        mlp_weights_from_params,
+        query_density_grid,
+    )
+
+    rng = np.random.default_rng(0)
+    codes = tsr.scene_codes(
+        jnp.asarray(rng.random((1, 512, 512, 3)), jnp.float32)
+    )
+    w = mlp_weights_from_params(tsr.params["decoder"]["layers"])
+    d64 = np.asarray(query_density_grid(codes[0], w, tsr.grid_spec(64)))
+    threshold = float(np.quantile(d64, 0.995))
+
+    verts, faces, _ = tsr.extract_mesh(
+        codes, resolution=512, threshold=threshold
+    )[0]
+    log(f"# 512^3 warmup: {len(verts)} verts {len(faces)} faces")
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        tsr.extract_mesh(codes, resolution=512, threshold=threshold)
+        times.append(time.perf_counter() - t0)
+    log(f"# 512^3 times: {[round(t, 2) for t in times]}")
+    return float(np.median(times))
+
+
+def bench_farm(tsr, matting, batch: int = 8):
+    """Config 5: batched throughput via the AssetFarm API (dp mesh over the
+    devices this host exposes — one chip here; the same code path scales to
+    a v5e-8 slice)."""
+    from jax.sharding import Mesh
+
+    from sculptmate_tpu.parallel.farm import AssetFarm
+    from sculptmate_tpu.ops.density_grid import (
+        mlp_weights_from_params,
+        query_density_grid,
+    )
+
+    devs = np.array(jax.devices())
+    mesh = Mesh(devs.reshape(len(devs)), ("dp",))
+    farm = AssetFarm(tsr, mesh)
+
+    rng = np.random.default_rng(0)
+    rgba = jnp.asarray(rng.random((batch, 512, 512, 4), np.float32))
+    codes = tsr.scene_codes(
+        jnp.asarray(rng.random((1, 512, 512, 3)), jnp.float32)
+    )
+    w = mlp_weights_from_params(tsr.params["decoder"]["layers"])
+    d = np.asarray(query_density_grid(codes[0], w, tsr.grid_spec(64)))
+    threshold = float(np.quantile(d, 0.99))
+
+    def run_once():
+        return farm.generate_batch_rgba(
+            rgba, matting=matting, resolution=RESOLUTION,
+            threshold=threshold, has_vertex_color=True,
+        )
+
+    meshes = run_once()  # warmup (compiles + capacity calibration)
+    log(f"# farm warmup: {[len(m[0]) for m in meshes]} verts")
+    meshes = run_once()  # warm final-capacity programs
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_once()
+        times.append((time.perf_counter() - t0) / batch)
+    log(f"# farm per-asset times: {[round(t, 3) for t in times]}")
+    return float(np.median(times))
+
+
+def main():
+    deadline = time.monotonic() + float(
+        os.environ.get("SCULPTMATE_BENCH_BUDGET", "1500")
+    )
+    from sculptmate_tpu.frontend.matting import U2NetMatting
+    from sculptmate_tpu.systems.tsr import TSR
+
+    dev = jax.devices()[0]
+    log(f"# device: {dev.platform} {getattr(dev, 'device_kind', '')}")
+
+    tsr = TSR(dtype=jnp.bfloat16)
+    matting = U2NetMatting()
+
+    result = bench_lean(tsr, matting)
+
+    # extra configs, cheapest-first, each skipped if the remaining budget
+    # cannot plausibly cover a cold-cache run of it
+    extras = (
+        ("farm_sec_per_asset", lambda: bench_farm(tsr, matting), 240),
+        ("highres512_sec", lambda: bench_highres(tsr), 240),
+        ("sf3d_sec_per_asset", bench_sf3d, 600),
+    )
+    for key, fn, reserve in extras:
+        left = deadline - time.monotonic()
+        if left < reserve:
+            log(f"# skipping {key}: {left:.0f}s left < {reserve}s reserve")
+            continue
+        try:
+            result[key] = round(fn(), 4)
+        except Exception as e:  # an extra config must never sink the record
+            log(f"# {key} FAILED: {e!r}")
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

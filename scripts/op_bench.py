@@ -1,5 +1,18 @@
 """Honest per-op TPU microbenchmarks (sync via scalar D2H, defeating any
-async-scheduler underreporting)."""
+async-scheduler underreporting), plus MFU/roofline accounting for the
+compute-dominated programs (encode, density sweep) and a per-stage bound
+classification of the lean serving path.
+
+Roofline model (one TPU v5e chip): bf16 MXU peak 197 TFLOP/s, HBM
+819 GB/s => ridge point ~240 FLOP/byte. FLOPs and HBM bytes come from
+XLA's own post-optimization cost analysis of the compiled executable, so
+fusion is already accounted for. A program is classified:
+
+- ``compute``  if its compute-time lower bound (flops/peak) dominates,
+- ``bandwidth`` if its memory-time lower bound (bytes/BW) dominates,
+- ``latency``  if measured wall time exceeds 4x both bounds (dispatch,
+  D2H round trips, or serialization — not the chip).
+"""
 
 import time
 
@@ -9,6 +22,9 @@ import numpy as np
 
 import sculptmate_tpu  # noqa: F401  (compilation cache)
 
+PEAK_BF16_FLOPS = 197e12  # TPU v5e-1 MXU peak (bf16)
+HBM_BW = 819e9  # bytes/s
+
 
 def timed(name, fn, *args, n=3):
     out = fn(*args)
@@ -16,12 +32,73 @@ def timed(name, fn, *args, n=3):
     t0 = time.perf_counter()
     for _ in range(n):
         _sync(fn(*args))
-    print(f"{name:36s} {(time.perf_counter() - t0) / n * 1e3:9.1f} ms")
+    dt = (time.perf_counter() - t0) / n
+    print(f"{name:36s} {dt * 1e3:9.1f} ms")
+    return dt
 
 
 def _sync(out):
     leaf = jax.tree_util.tree_leaves(out)[0]
     np.asarray(leaf.ravel()[0])  # force a real device round trip
+
+
+def _cost(jitfn, *args):
+    """(flops, hbm bytes) from XLA's cost analysis of the compiled
+    executable; (None, None) when the backend can't report it."""
+    try:
+        ca = jitfn.lower(*args).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca["flops"]), float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        return None, None
+
+
+def roofline(name, jitfn, *args, n=10, flops=None, note=""):
+    """Time ``jitfn`` and print achieved TFLOP/s, MFU vs bf16 peak,
+    achieved HBM GB/s, arithmetic intensity, and the bound class.
+
+    ``flops``: analytic override. XLA's cost analysis counts a
+    ``lax.map``/``while`` body ONCE, not times its trip count, so any
+    slab-streamed program must pass its true count here.
+
+    Timing is AMORTIZED: all ``n`` dispatches are enqueued back-to-back
+    (they serialize on the one device stream) and synced once, so the
+    tunneled D2H round trip (30-500 ms, fluctuating) is paid once/n instead
+    of polluting every sample — the per-sync convention of ``timed()`` is
+    honest for serving latency, but would misclassify every sub-100 ms
+    program as latency-bound here."""
+    out = jitfn(*args)
+    _sync(out)
+    xla_flops, xla_bytes = _cost(jitfn, *args)
+    if flops is None:
+        flops = xla_flops
+    t0 = time.perf_counter()
+    outs = [jitfn(*args) for _ in range(n)]
+    _sync(outs[-1])
+    dt = (time.perf_counter() - t0) / n
+
+    if flops is None:
+        print(f"{name:36s} {dt * 1e3:9.1f} ms   (no cost analysis)")
+        return dt
+    t_c = flops / PEAK_BF16_FLOPS
+    t_m = (xla_bytes or 0.0) / HBM_BW
+    mfu = flops / dt / PEAK_BF16_FLOPS
+    if dt > 4 * max(t_c, t_m):
+        bound = "latency"
+    elif t_c >= t_m:
+        bound = "compute"
+    else:
+        bound = "bandwidth"
+    intensity = flops / xla_bytes if xla_bytes else float("inf")
+    print(
+        f"{name:36s} {dt * 1e3:9.1f} ms "
+        f"{flops / 1e9:8.1f} GF {flops / dt / 1e12:6.2f} TF/s "
+        f"MFU {mfu * 100:5.1f}% "
+        f"{(xla_bytes or 0) / dt / 1e9:6.1f} GB/s "
+        f"AI {intensity:6.1f} F/B  [{bound}]{note}"
+    )
+    return dt
 
 
 def main():
@@ -66,16 +143,112 @@ def main():
     w = mlp_weights_from_params(params["layers"])
     tri = jnp.asarray(rng.standard_normal((3, 40, 64, 64)).astype(np.float32))
 
+    print()
+    print("== roofline (v5e-1: 197 TFLOP/s bf16, 819 GB/s HBM, ridge ~240 F/B) ==")
+    # analytic FLOPs: XLA's cost analysis counts the z-slab lax.map body
+    # once, not x32. Hidden layers dominate: R^3 points x 8 x (64x64x2),
+    # plus the 64->4 output layer and the factorized first layer
+    # (3 x R^2 x 40 x 64 x 2). NOTE the shape ceiling: a 64-wide matmul can
+    # drive at most (64/128)^2 = 25% of the MXU, so 49 TF/s is
+    # speed-of-light for this program regardless of schedule.
+    dg_flops = R**3 * (8 * 64 * 64 * 2 + 64 * 4 * 2) + 3 * R**2 * 40 * 64 * 2
     for dt, lbl in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
         spec = DensityGridSpec(resolution=R, compute_dtype=dt)
-        timed(f"density grid XLA {lbl}", jax.jit(lambda t: query_density_grid(t, w, spec)), tri)
+        roofline(
+            f"density grid 256^3 {lbl}",
+            jax.jit(lambda t: query_density_grid(t, w, spec)),
+            tri,
+            flops=dg_flops,
+            note="  (64-wide: MXU shape ceiling 25%)",
+        )
 
-    # encode
+    # encode: ViT-B @ 512^2 + 16-block/1024-ch backbone over 3072 tokens
+    # (reference widths TripoSR/checkpoints/config.yaml:12-18)
     from sculptmate_tpu.systems.tsr import TSR
 
     tsr = TSR(dtype=jnp.bfloat16)
     img = jnp.asarray(rng.random((1, 512, 512, 3)).astype(np.float32))
-    timed("encode 512^2 (ViT+backbone) bf16", lambda i: tsr._forward(tsr.params, i), img)
+    roofline("encode 512^2 (ViT+backbone) bf16", tsr._forward, tsr.params, img)
+
+    stage_breakdown(tsr, rng)
+
+
+def stage_breakdown(tsr, rng):
+    """Per-stage roofline of the lean serving path (``bench.py``'s loop):
+    matting+preprocess, encode, the one-jit wire extraction program, and the
+    host tail (D2H wire fetch + native face rebuild), each classified
+    compute/bandwidth/latency so the next optimization targets the real
+    bottleneck instead of a guess."""
+    from sculptmate_tpu.frontend.matting import U2NetMatting, U2NET_SIZE
+    from sculptmate_tpu.frontend.preprocess import preprocess_batch_device
+    from sculptmate_tpu.geometry import mc_wire
+    from sculptmate_tpu.ops.density_grid import (
+        mlp_weights_from_params,
+        query_density_grid,
+    )
+
+    print()
+    print("== lean-path stages (bench.py loop) ==")
+    matting = U2NetMatting()
+    rngs = np.random.default_rng(0)
+    raw = jnp.asarray(rngs.random((1, 512, 512, 4), np.float32))
+    raw_small = jnp.asarray(
+        rngs.random((1, U2NET_SIZE, U2NET_SIZE, 3), np.float32)
+    )
+
+    @jax.jit
+    def make_cond():
+        mask = matting._predict(matting.variables, raw_small)
+        alpha = jax.image.resize(mask[..., None], (1, 512, 512, 1), "linear")
+        rgba = jnp.concatenate([raw[..., :3], alpha], axis=-1)
+        return preprocess_batch_device(rgba, ratio=0.75, out_size=512)
+
+    roofline("stage matting+preprocess", make_cond)
+    cond = make_cond()
+    roofline("stage encode", tsr._forward, tsr.params, cond)
+
+    codes = tsr._forward(tsr.params, cond)
+    w = mlp_weights_from_params(tsr.params["decoder"]["layers"])
+    d = query_density_grid(codes[0], w, tsr.grid_spec(64))
+    thr = float(np.quantile(np.asarray(d), 0.99))
+
+    # size the wire program exactly like bench.py's steady state
+    h = tsr.extract_mesh_async(codes[0], True, 256, thr)
+    (verts, _faces, _c), (nv, _nb, mv, bc) = tsr.extract_mesh_wait(h)
+    cap = 65536 * -(-int(len(verts) * 1.25) // 65536)
+    mv2, bc2 = tsr._wire_caps(256, cap, explicit=True)
+    # FLOPs ~= the density sweep's (the MC + color-query tail is
+    # gather/scatter, bandwidth- not FLOP-shaped; XLA undercounts both
+    # through the z-slab lax.map)
+    dg_flops = 256**3 * (8 * 64 * 64 * 2 + 64 * 4 * 2) + 3 * 256**2 * 40 * 64 * 2
+    roofline(
+        "stage extract wire 256^3 (device)",
+        tsr._extract_wire_jit,
+        codes[0], 256, thr, mv2, True, bc2,
+        flops=dg_flops,
+    )
+
+    # host tail: D2H fetch of the packed wire + native rebuild
+    fut = tsr._extract_wire_jit(codes[0], 256, thr, mv2, True, bc2)
+    jax.block_until_ready(fut)
+    parts = fut if isinstance(fut, tuple) else (fut,)
+    nbytes = sum(int(np.prod(p.shape)) * p.dtype.itemsize for p in parts)
+    t0 = time.perf_counter()
+    wire = np.asarray(parts[0])
+    t_fetch = time.perf_counter() - t0
+    nv = int(mc_wire.wire_counts(wire, mc_wire.N_WIRE_COUNTS)[0])
+    t0 = time.perf_counter()
+    mc_wire.decode_wire(wire, (256, 256, 256), mv2, has_colors=False)
+    t_dec = time.perf_counter() - t0
+    print(
+        f"{'stage wire D2H fetch (host)':36s} {t_fetch * 1e3:9.1f} ms "
+        f"{nbytes / 1e6:8.1f} MB {nbytes / t_fetch / 1e6:6.1f} MB/s  "
+        f"[latency: tunneled link, hidden by bench.py's pipelining]"
+    )
+    print(
+        f"{'stage native wire decode (host)':36s} {t_dec * 1e3:9.1f} ms "
+        f"{nv:8d} verts  [host core]"
+    )
 
 
 if __name__ == "__main__":

@@ -94,13 +94,31 @@ def remove(
     session=None,
     session_name: Optional[str] = None,
     post_process: bool = False,
+    only_mask: bool = False,
+    putalpha: bool = False,
     bgcolor=None,
 ) -> Image.Image:
-    """rembg.remove equivalent: RGBA cutout with mask as alpha
-    (``bg.py:149-238``, naive_cutout path). ``session`` may be any object
-    with ``predict_mask`` (a ``U2NetMatting`` or a registry session from
-    ``frontend.sessions.new_session``); ``session_name`` selects from the
-    registry."""
+    """rembg.remove equivalent, matching the live surface of
+    ``bg.py:149-238`` option-for-option:
+
+    - default: ``naive_cutout`` — the image is composited onto an empty
+      RGBA canvas through the mask (``bg.py:33-46,217``), so RGB under
+      partial alpha blends toward (0,0,0) exactly like ``Image.composite``
+    - ``putalpha=True``: keep the original RGB, mask becomes the alpha
+      channel (``bg.py:49-61,195,214-215``)
+    - ``only_mask=True``: return the 'L' mask itself (``bg.py:210-211``);
+      ``bgcolor`` is then ignored, as in the reference (``bg.py:225``)
+    - ``post_process``: morphological open + blur + threshold (``bg.py:97-107``)
+    - ``bgcolor``: RGBA tuple composited behind the cutout (``bg.py:110-125``)
+
+    The reference's ``alpha_matting*`` kwargs are accepted there
+    (``bg.py:151-154``) but dead — never read in the body — so they are
+    intentionally not ported. EXIF re-orientation (``bg.py:198``) happens at
+    image decode; inputs here are already-decoded PIL images.
+
+    ``session`` may be any object with ``predict_mask`` (a ``U2NetMatting``
+    or a registry session from ``frontend.sessions.new_session``);
+    ``session_name`` selects from the registry."""
     if session is None and session_name is not None:
         from sculptmate_tpu.frontend.sessions import new_session
 
@@ -109,10 +127,18 @@ def remove(
     mask = session.predict_mask(image)
     if post_process:
         mask = Image.fromarray(post_process_mask(np.asarray(mask)))
-    cutout = image.convert("RGB").copy()
-    cutout.putalpha(mask)
+    if only_mask:
+        return mask
+    if putalpha:
+        cutout = image.convert("RGB").copy()
+        cutout.putalpha(mask)
+    else:
+        empty = Image.new("RGBA", image.size, 0)
+        cutout = Image.composite(image, empty, mask)
     if bgcolor is not None:
-        bg = Image.new("RGBA", cutout.size, bgcolor)
-        bg.paste(cutout, mask=cutout.getchannel("A"))
+        bg = Image.new("RGBA", cutout.size, tuple(bgcolor))
+        # the RGBA cutout itself is the paste mask (its alpha band), as in
+        # apply_background_color (bg.py:123)
+        bg.paste(cutout, mask=cutout)
         cutout = bg
     return cutout

@@ -206,11 +206,15 @@ class AssetFarm:
         colors (nv,3) f32 | None), ...]."""
         from sculptmate_tpu.geometry import mc_wire
 
+        # explicit caller capacity wins over the warmed cache (same policy
+        # as TSR._wire_caps): a stale giant value must not inflate the fetch
+        explicit = max_verts > 0
         if max_verts <= 0:
             max_verts = 8 * resolution * resolution
         cached = self._wire_caps.get(resolution)
         if cached is not None:
-            mv, bc = max(max_verts, cached[0]), cached[1]
+            mv = max_verts if explicit else max(max_verts, cached[0])
+            bc = cached[1]
         else:
             mv = max_verts
             bc = default_block_capacity(resolution, mv)
@@ -348,7 +352,7 @@ def sharded_extract(
     """
     from functools import partial
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from sculptmate_tpu.geometry.marching_cubes import (
         BS,
@@ -377,7 +381,7 @@ def sharded_extract(
         mesh=mesh,
         in_specs=(P(), ),
         out_specs=P(sp_axis),
-        check_rep=False,
+        check_vma=False,
     )
     def run(tri):
         idx = jax.lax.axis_index(sp_axis)
@@ -470,7 +474,7 @@ def sharded_extract_wire(
     """
     from functools import partial
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from sculptmate_tpu.geometry import mc_wire
     from sculptmate_tpu.geometry.marching_cubes import (
@@ -497,7 +501,7 @@ def sharded_extract_wire(
         mesh=mesh,
         in_specs=(P(),),
         out_specs=P(sp_axis),
-        check_rep=False,
+        check_vma=False,
     )
     def run(tri):
         idx = jax.lax.axis_index(sp_axis)

@@ -1,0 +1,305 @@
+"""Data-parallel SF3D serving farm (BASELINE config 3 at batch scale).
+
+The SF3D pipeline (``systems/sf3d.py``, mirroring ``sf3d/system.py:96-528``)
+splits into device-heavy batched stages and a host/device ping-pong tail:
+
+- prepare + encode + material estimator: ONE dp-sharded XLA program over the
+  image batch (camera-modulated DINOv2 + two-stream backbone under optional
+  Megatron TP, like ``parallel.farm.AssetFarm``);
+- marching-tets wire extraction: ONE dp-sharded vmapped program -> one
+  (B, W) uint8 fetch for the whole batch (the per-asset wire format of
+  ``systems/sf3d.py:_extract_wire_jit``);
+- the sequential tail (native wire rebuild + quadric decimation on the host,
+  fused unwrap+bake on the device) is ROUND-ROBINED: asset i's bake runs on
+  device while the host decodes + decimates asset i+1
+  (``SF3D.unwrap_bake_async`` / ``unwrap_bake_wait``). On a one-core host
+  this overlap is the throughput floor — the host side (decode + decimate +
+  PNG encode) saturates first.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sculptmate_tpu.ops.density_grid import (
+    lattice_coords_tets,
+    mlp_weights_from_params,
+    query_grid_multihead,
+)
+
+
+class SF3DFarm:
+    """Batched multi-chip generation driver for the SF3D ("Pro") path.
+
+    ``dp_axis`` shards the image batch; ``tp_axis`` (optional) additionally
+    tensor-parallelizes the two-stream backbone across that axis (attention
+    heads / FF hidden column-sharded, GSPMD-inserted collectives)."""
+
+    def __init__(
+        self, sf3d, mesh: Mesh, dp_axis: str = "dp",
+        tp_axis: Optional[str] = None,
+    ):
+        self.sf3d = sf3d
+        self.mesh = mesh
+        self.dp_axis = dp_axis
+        self.tp_axis = tp_axis
+        self.params = jax.device_put(sf3d.params, NamedSharding(mesh, P()))
+
+        if tp_axis is not None and sf3d.module.tp_axis != tp_axis:
+            from sculptmate_tpu.systems.sf3d import SF3DModule
+
+            module = SF3DModule(
+                sf3d.config, dtype=sf3d.module.dtype, tp_axis=tp_axis
+            )
+        else:
+            module = sf3d.module
+        self.module = module
+        c = sf3d.config
+
+        @functools.partial(
+            jax.jit,
+            in_shardings=(
+                NamedSharding(mesh, P()),
+                NamedSharding(mesh, P(dp_axis)),
+            ),
+            out_shardings=NamedSharding(mesh, P(dp_axis)),
+        )
+        def _front(params, rgba):
+            """prepare (mask/bg lerp) + encode + material estimator, all
+            batch-sharded in ONE program (sf3d/system.py:285-306 + encode)."""
+            from sculptmate_tpu.models.camera import (
+                default_cond_c2w,
+                intrinsic_from_fov_deg,
+            )
+            from sculptmate_tpu.systems.sf3d import SF3DModule
+
+            B = rgba.shape[0]
+            if rgba.shape[-1] == 4:
+                mask, rgb = rgba[..., 3:4], rgba[..., :3]
+            else:
+                mask, rgb = jnp.ones_like(rgba[..., :1]), rgba[..., :3]
+            bg = jnp.asarray(c.background_color, rgb.dtype)
+            rgb = jnp.clip(bg * (1.0 - mask) + rgb * mask, 0.0, 1.0)
+
+            c2w = jnp.broadcast_to(
+                jnp.asarray(default_cond_c2w(c.default_distance)), (B, 4, 4)
+            )
+            _, Kn = intrinsic_from_fov_deg(
+                c.default_fovy_deg, c.cond_image_size, c.cond_image_size
+            )
+            Kn = jnp.broadcast_to(jnp.asarray(Kn), (B, 3, 3))
+            codes, _direct = module.apply({"params": params}, rgb, c2w, Kn)
+            est = module.apply(
+                {"params": params}, rgb * mask,
+                method=SF3DModule.estimate_materials,
+            )
+            return codes, est
+
+        if tp_axis is None:
+            self._front = _front
+        else:
+            def _front_with_mesh(params, rgba):
+                with jax.sharding.set_mesh(mesh):
+                    return _front(params, rgba)
+
+            self._front = _front_with_mesh
+
+        @functools.partial(
+            jax.jit,
+            static_argnums=(3, 4),
+            in_shardings=(
+                NamedSharding(mesh, P()),
+                NamedSharding(mesh, P(dp_axis)),
+                NamedSharding(mesh, P()),  # threshold (traced scalar)
+            ),
+            out_shardings=NamedSharding(mesh, P(dp_axis)),
+        )
+        def _extract_wire(params, codes, threshold, max_verts, block_cap):
+            """dp-sharded vmapped MT wire extraction — same math as
+            ``SF3D._extract_wire_jit`` with explicit (replicated) params."""
+            from sculptmate_tpu.geometry.marching_tets import (
+                lattice_size,
+                mt_wire_device,
+            )
+
+            res = c.isosurface_resolution
+            N = lattice_size(res)
+            slab = 7 if N % 7 == 0 else 1
+            spec = sf3d.grid_spec(slab=slab, compute_dtype=sf3d.extract_dtype)
+            heads = {
+                n: mlp_weights_from_params(params["decoder"][f"head_{n}"])
+                for n in ("density", "vertex_offset")
+            }
+            coords = lattice_coords_tets(res)
+            snap = jnp.asarray(float(c.weld_eps), jnp.float32)
+
+            def one(code):
+                grids = query_grid_multihead(code, heads, coords, spec)
+                density = jnp.exp(grids["density"][0] - 1.0)
+                sdf = density - threshold
+                dx, dy, dz = grids["vertex_offset"]
+                return mt_wire_device(
+                    sdf, dx, dy, dz, res, max_verts, block_cap, snap_eps=snap
+                )
+
+            return jax.vmap(one)(codes)
+
+        self._extract_wire = _extract_wire
+
+    def generate_batch(
+        self,
+        images: jnp.ndarray,
+        bake_resolution: int = 512,
+        vertex_simplification_factor: str = "high",
+        enable_texture: bool = True,
+        threshold: Optional[float] = None,
+    ):
+        """images: (B, S, S, 3|4) float [0,1], B divisible by the dp axis
+        size. Returns a list of B mesh dicts (``SF3D.run_image`` layout) or
+        None entries for empty surfaces.
+
+        Stage structure: one dp-sharded front program, one dp-sharded wire
+        extraction fetch, then the host decode+decimate of asset i+1
+        overlapped with the device unwrap+bake of asset i."""
+        from sculptmate_tpu.geometry import mt_wire
+        from sculptmate_tpu.geometry.decimate import decimate, vertex_normals
+        from sculptmate_tpu.geometry.marching_tets import (
+            default_block_capacity,
+            lattice_size,
+        )
+        from sculptmate_tpu.geometry.mesh import Mesh as TriMesh
+        from sculptmate_tpu.runtime import capacity_cache
+
+        sf3d = self.sf3d
+        c = sf3d.config
+        s = c.cond_image_size
+        if images.shape[1] != s or images.shape[2] != s:
+            from sculptmate_tpu.ops.resize import resize_bilinear_antialias
+
+            images = resize_bilinear_antialias(images, s, s)
+        images = jax.device_put(
+            images, NamedSharding(self.mesh, P(self.dp_axis))
+        )
+        codes, est = self._front(self.params, images)
+        est_np = jax.tree.map(np.asarray, est)  # two tiny fetches, batched
+
+        thr = float(c.isosurface_threshold if threshold is None else threshold)
+        res = c.isosurface_resolution
+        N = lattice_size(res)
+
+        # shared capacity policy with SF3D.run_image (same persisted key:
+        # per-asset wire shapes are identical)
+        cached = getattr(sf3d, "_cap_cache", None) or capacity_cache.load(
+            f"sf3d_mt_r{res}"
+        )
+        if cached is not None:
+            max_verts, block_cap = cached
+        else:
+            max_verts = 24 * N * N
+            block_cap = default_block_capacity(res, "verts")
+
+        B = images.shape[0]
+        while True:
+            wires = np.asarray(
+                self._extract_wire(
+                    self.params, codes, thr, max_verts, block_cap
+                )
+            )  # ONE dp-sharded (B, W) fetch for the whole batch
+            counts = np.stack(
+                [
+                    mt_wire.wire_counts(w, mt_wire.N_WIRE_COUNTS)
+                    for w in wires
+                ]
+            )
+            nv_max = int(counts[:, 0].max())
+            nblk_max = int(counts[:, 1].max())
+            # overflow detected from the exact counters, never truncated
+            if nblk_max > block_cap:
+                block_cap = 2 * max(block_cap, nblk_max)
+                continue
+            if nv_max > max_verts:
+                max_verts = max(
+                    max_verts, 65536 * -(-int(1.2 * nv_max) // 65536)
+                )
+                continue
+            break
+        sf3d._cap_cache = (
+            capacity_cache.tighten(max_verts, nv_max),
+            capacity_cache.tighten(block_cap, nblk_max, slack=1.3, bucket=4096),
+        )
+        capacity_cache.store(f"sf3d_mt_r{res}", sf3d._cap_cache)
+
+        weld = float(c.weld_eps) > 0
+        factor = {"high": 0.75, "med": 0.4, "medium": 0.4, "low": 0.1}.get(
+            vertex_simplification_factor, 0.75
+        )
+
+        def decode_one(i):
+            """Host tail for asset i: native wire rebuild + decimate."""
+            nv = int(counts[i, 0])
+            if nv == 0:
+                return None
+            lverts, faces, _ = mt_wire.decode_wire(
+                wires[i], res, max_verts, weld=weld
+            )
+            verts = lverts * (2 * c.radius) - c.radius
+            vertex_count = round(factor * nv)
+            if vertex_count < len(verts):
+                verts, faces, v_nrm = decimate(
+                    verts, faces, target_ratio=vertex_count / len(verts),
+                    return_normals=True,
+                )
+            else:
+                v_nrm = vertex_normals(verts, faces)
+            mesh = TriMesh(verts, faces.astype(np.int64))
+            mesh._v_nrm = v_nrm
+            return mesh
+
+        def finish(entry):
+            i, mesh, handle = entry
+            if mesh is None:
+                return None
+            if handle is not None:
+                uv_flat, textures = sf3d.unwrap_bake_wait(handle)
+                mesh.apply_flat_uv(uv_flat)
+            else:
+                # no-texture parity with run_image: UVs are still produced
+                mesh.unwrap_uv(backend="auto")
+                textures = {
+                    "textures": None,
+                    "texture_pngs": None,
+                    "roughness": None,
+                    "metallic": None,
+                }
+            out = {
+                "verts": mesh.v_pos,
+                "faces": mesh.t_pos_idx,
+                "uvs": mesh.v_tex,
+                "normals": mesh.v_nrm,
+            }
+            out.update(textures)
+            return out
+
+        results = [None] * B
+        prev = None
+        for i in range(B):
+            mesh = decode_one(i)
+            handle = None
+            if mesh is not None and enable_texture:
+                global_i = {k: v[i] for k, v in est_np.items()}
+                handle = sf3d.unwrap_bake_async(
+                    mesh.v_pos, mesh.v_nrm, mesh.t_pos_idx, codes[i],
+                    global_i, bake_resolution,
+                )
+            if prev is not None:
+                results[prev[0]] = finish(prev)
+            prev = (i, mesh, handle)
+        if prev is not None:
+            results[prev[0]] = finish(prev)
+        return results

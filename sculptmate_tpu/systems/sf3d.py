@@ -223,6 +223,25 @@ class SF3DModule(nn.Module):
         return codes, dec, est, glob
 
 
+@dataclasses.dataclass(frozen=True)
+class _UnwrapBakeHandle:
+    """In-flight fused unwrap+bake: the dispatched future plus everything
+    needed to retry on raster-capacity overflow and decode the result."""
+
+    fut: Any
+    scene_code: Any
+    packed_dev: Any
+    nb: int
+    fb: int
+    nf: int
+    res: int
+    island_padding: float
+    caps: Tuple[int, int, int, int, int]
+    first_success_shrinks: bool
+    ub_key: Tuple[int, int]
+    ub_pkey: str
+
+
 class SF3D:
     """Host wrapper around SF3DModule + the extraction/bake pipeline."""
 
@@ -856,6 +875,28 @@ class SF3D:
         (uv_flat (F, 3, 2) f32, texture dict as in ``bake_textures``). ONE
         u16-quantized upload, ONE uint8 fetch; raster capacity overflows are
         detected from the wire counters and retried, never truncated."""
+        return self.unwrap_bake_wait(
+            self.unwrap_bake_async(
+                v_pos, v_nrm, faces, scene_code, global_dict,
+                bake_resolution, island_padding,
+            )
+        )
+
+    def unwrap_bake_async(
+        self,
+        v_pos: np.ndarray,
+        v_nrm: np.ndarray,
+        faces: np.ndarray,
+        scene_code,
+        global_dict,
+        bake_resolution: int,
+        island_padding: float = 0.02,
+    ):
+        """Host prep + non-blocking dispatch of the fused unwrap+bake program
+        (its D2H copy is queued async). Returns an opaque handle for
+        ``unwrap_bake_wait`` — serving loops overlap asset i's bake on device
+        with asset i+1's host-side wire decode + decimation
+        (``parallel.sf3d_farm.SF3DFarm``)."""
         from sculptmate_tpu.geometry.texture_bake import (
             _PAIR2_CHUNK,
             _PAIR_CHUNK,
@@ -970,16 +1011,58 @@ class SF3D:
         packed[-1] = nf >> 16
         if prof:
             print(f"[unwrap_bake] host prep: {(_time.perf_counter()-t0)*1e3:.0f} ms")
-            t0 = _time.perf_counter()
         packed_dev = jnp.asarray(packed)
+        caps = (u_pair, u_pair2, u_multi, b_pair, b_pair2)
+        fut = self._unwrap_bake_jit(
+            scene_code, packed_dev, nb, fb_, res, float(island_padding), caps
+        )
+        fut.copy_to_host_async()
+        return _UnwrapBakeHandle(
+            fut=fut,
+            scene_code=scene_code,
+            packed_dev=packed_dev,
+            nb=nb,
+            fb=fb_,
+            nf=nf,
+            res=res,
+            island_padding=float(island_padding),
+            caps=caps,
+            first_success_shrinks=first_success_shrinks,
+            ub_key=ub_key,
+            ub_pkey=ub_pkey,
+        )
+
+    def unwrap_bake_wait(self, handle):
+        """Block on a handle from ``unwrap_bake_async`` -> (uv_flat, texture
+        dict). Raster capacity overflows are detected from the wire counters
+        and re-dispatched, never truncated."""
+        from sculptmate_tpu.geometry.texture_bake import (
+            _PAIR2_CHUNK,
+            _PAIR_CHUNK,
+            default_multi_capacity,
+        )
+        from sculptmate_tpu.runtime import capacity_cache
+
+        import os
+        import time as _time
+
+        prof = bool(os.environ.get("SCULPTMATE_BAKE_PROFILE"))
+        t0 = _time.perf_counter()
+
+        fut = handle.fut
+        nb, fb_, nf, res = handle.nb, handle.fb, handle.nf, handle.res
+        u_pair, u_pair2, u_multi, b_pair, b_pair2 = handle.caps
+        first_success_shrinks = handle.first_success_shrinks
+        first = True
         while True:
-            wire = np.asarray(
-                self._unwrap_bake_jit(
-                    scene_code, packed_dev, nb, fb_, res,
-                    float(island_padding),
+            if not first:
+                fut = self._unwrap_bake_jit(
+                    handle.scene_code, handle.packed_dev, nb, fb_, res,
+                    handle.island_padding,
                     (u_pair, u_pair2, u_multi, b_pair, b_pair2),
                 )
-            )  # ONE fetch for uvs + textures
+            first = False
+            wire = np.asarray(fut)  # ONE fetch for uvs + textures
             tail = wire[-28:]
             counters = (
                 tail[:24].reshape(6, 4).astype(np.uint32)
@@ -1039,8 +1122,8 @@ class SF3D:
                     _PAIR2_CHUNK,
                     -(-int(bk_coarse * 1.5) // _PAIR2_CHUNK) * _PAIR2_CHUNK,
                 )
-        self._ub_caps[ub_key] = (u_pair, u_pair2, u_multi, b_pair, b_pair2)
-        capacity_cache.store(ub_pkey, self._ub_caps[ub_key])
+        self._ub_caps[handle.ub_key] = (u_pair, u_pair2, u_multi, b_pair, b_pair2)
+        capacity_cache.store(handle.ub_pkey, self._ub_caps[handle.ub_key])
 
         if prof:
             print(f"[unwrap_bake] jit+fetch: {(_time.perf_counter()-t0)*1e3:.0f} ms")

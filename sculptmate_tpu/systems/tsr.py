@@ -156,6 +156,20 @@ class TSRModule(nn.Module):
         return codes, self.decode(feats)
 
 
+@dataclasses.dataclass(frozen=True)
+class _WireHandle:
+    """In-flight wire extraction: the dispatched future plus everything
+    needed to retry on capacity overflow and decode the result."""
+
+    scene_code: object
+    fut: object
+    mv: int
+    bc: int
+    resolution: int
+    threshold: float
+    want_colors: bool
+
+
 class TSR:
     """Host-side wrapper: params + jitted programs. API mirrors
     ``tsr/system.py``'s forward/extract_mesh split."""
@@ -336,8 +350,14 @@ class TSR:
     # by ``image_to_mesh`` and ``extract_mesh`` (wire mode) so the retry
     # semantics cannot drift between the two entry points.
 
-    def _wire_caps(self, resolution: int, max_verts: int):
-        """(mv, bc) to dispatch with at this resolution (cache-warmed)."""
+    def _wire_caps(self, resolution: int, max_verts: int, explicit: bool = False):
+        """(mv, bc) to dispatch with at this resolution (cache-warmed).
+
+        ``explicit``: the caller passed a deliberate vertex capacity — honor
+        it as-given and let the cache fill only the block capacity. A stale
+        giant persisted value must never silently inflate a caller-sized
+        fetch; overflow-retry remains the safety net if the explicit value
+        proves too small."""
         from sculptmate_tpu.geometry.marching_cubes import default_block_capacity
 
         from sculptmate_tpu.runtime import capacity_cache
@@ -348,7 +368,8 @@ class TSR:
         if cached is None:
             cached = capacity_cache.load(f"tsr_wire_r{resolution}")
         if cached is not None:
-            return max(max_verts, cached[0]), cached[1]
+            mv = max_verts if explicit else max(max_verts, cached[0])
+            return mv, cached[1]
         return max_verts, default_block_capacity(resolution, max_verts)
 
     def _wire_caps_store(self, resolution, mv, nv_seen, bc, nblocks_seen):
@@ -425,9 +446,10 @@ class TSR:
         if images.shape[1] != s or images.shape[2] != s:
             images = resize_bilinear_antialias(images, s, s)
 
+        explicit = max_verts > 0
         if max_verts <= 0:
             max_verts = 8 * resolution * resolution
-        mv, bc = self._wire_caps(resolution, max_verts)
+        mv, bc = self._wire_caps(resolution, max_verts, explicit)
         while True:
             fut = self._wire_dispatch_async(
                 self._encode_extract_wire_jit(
@@ -595,6 +617,10 @@ class TSR:
             return self._extract_mesh_wire(
                 scene_codes, has_vertex_color, resolution, threshold, max_verts
             )
+        # explicit caller capacities are honored as-given (the persisted
+        # cache only fills unspecified values); overflow-retry is the net
+        explicit_mv = max_verts > 0
+        explicit_mf = max_faces > 0
         if max_verts <= 0:
             # ~2x a typical object's surface at this resolution; capacity
             # directly scales gather/scatter cost, and overflow auto-retries
@@ -619,8 +645,8 @@ class TSR:
         out = []
         for scene_code in scene_codes:
             if cached is not None:
-                mv = max(max_verts, cached[0])
-                mf = max(max_faces, cached[1])
+                mv = max_verts if explicit_mv else max(max_verts, cached[0])
+                mf = max_faces if explicit_mf else max(max_faces, cached[1])
                 bc, dense = cached[2], cached[3]
             else:
                 mv, mf = max_verts, max_faces
@@ -686,45 +712,95 @@ class TSR:
             out.append((verts_world, faces, colors))
         return out
 
+    # -- async (pipelined) wire extraction -----------------------------
+    # Serving loops overlap asset i's D2H fetch + native face rebuild with
+    # asset i+1's device compute: ``extract_mesh_async`` enqueues the device
+    # program AND its host copies without blocking; ``extract_mesh_wait``
+    # blocks, applies the shared overflow-retry policy, and decodes.
+    # ``extract_mesh`` (wire mode) and ``bench.py``'s steady-state loop are
+    # both built on this pair, so the retry semantics cannot drift.
+
+    def extract_mesh_async(
+        self,
+        scene_code,
+        has_vertex_color: bool = False,
+        resolution: int = 256,
+        threshold: float = 25.0,
+        max_verts: int = 0,
+    ):
+        """Enqueue ONE asset's wire extraction (device program + async D2H
+        copies) and return an opaque handle for ``extract_mesh_wait``.
+        Non-blocking: the host returns as soon as the program is dispatched."""
+        explicit = max_verts > 0
+        if max_verts <= 0:
+            max_verts = 8 * resolution * resolution
+        mv, bc = self._wire_caps(resolution, max_verts, explicit)
+        fut = self._wire_dispatch_async(
+            self._extract_wire_jit(
+                scene_code, resolution, float(threshold), mv,
+                bool(has_vertex_color), bc,
+            )
+        )
+        return _WireHandle(
+            scene_code, fut, mv, bc, resolution, float(threshold),
+            bool(has_vertex_color),
+        )
+
+    def extract_mesh_wait(self, handle, store: bool = True):
+        """Block on a handle from ``extract_mesh_async`` -> (verts world f32,
+        faces i64, colors f32|None). Capacity overflow is detected from the
+        exact wire counters and re-dispatched synchronously, never truncated.
+        ``store=False`` skips the capacity-cache update (batch drivers store
+        their aggregate maxima once instead)."""
+        from sculptmate_tpu.geometry import mc_wire
+
+        fut, mv_used = handle.fut, handle.mv
+        mv, bc = handle.mv, handle.bc
+        while True:
+            wire = np.asarray(fut[0] if isinstance(fut, tuple) else fut)
+            nv, nblocks = (
+                int(c) for c in mc_wire.wire_counts(wire, mc_wire.N_WIRE_COUNTS)
+            )
+            grown = self._wire_grown(nv, nblocks, mv_used, mv, bc)
+            if grown is None:
+                break
+            mv, bc = grown
+            mv_used = mv
+            fut = self._wire_dispatch_async(
+                self._extract_wire_jit(
+                    handle.scene_code, handle.resolution, handle.threshold,
+                    mv, handle.want_colors, bc,
+                )
+            )
+        if store:
+            self._wire_caps_store(handle.resolution, mv, nv, bc, nblocks)
+        return (
+            self._wire_decode(fut, wire, nv, mv_used, handle.resolution),
+            (nv, nblocks, mv, bc),
+        )
+
     def _extract_mesh_wire(
         self, scene_codes, has_vertex_color, resolution, threshold, max_verts
     ):
-        from sculptmate_tpu.geometry import mc_wire
-
-        if max_verts <= 0:
-            max_verts = 8 * resolution * resolution
-        mv, bc = self._wire_caps(resolution, max_verts)
-        nblocks_seen = 0
-        nv_seen = 0
-
-        def dispatch(code, mv, bc):
-            return self._wire_dispatch_async(
-                self._extract_wire_jit(
-                    code, resolution, float(threshold), mv,
-                    bool(has_vertex_color), bc,
-                )
-            )
-
         # pipeline: enqueue every asset's device program up front (jax
         # dispatch is async), so asset i's D2H fetch + native rebuild
         # overlaps asset i+1's device compute
-        pending = [(dispatch(code, mv, bc), mv) for code in scene_codes]
-
+        handles = [
+            self.extract_mesh_async(
+                code, has_vertex_color, resolution, threshold, max_verts
+            )
+            for code in scene_codes
+        ]
         out = []
-        for i, scene_code in enumerate(scene_codes):
-            while True:
-                fut, mv_used = pending[i]
-                wire = np.asarray(fut[0] if isinstance(fut, tuple) else fut)
-                nv, nblocks = (
-                    int(c) for c in mc_wire.wire_counts(wire, mc_wire.N_WIRE_COUNTS)
-                )
-                grown = self._wire_grown(nv, nblocks, mv_used, mv, bc)
-                if grown is None:
-                    nblocks_seen = max(nblocks_seen, nblocks)
-                    nv_seen = max(nv_seen, nv)
-                    break
-                mv, bc = grown
-                pending[i] = (dispatch(scene_code, mv, bc), mv)
+        nv_seen = nblocks_seen = 0
+        mv = bc = 0
+        for h in handles:
+            mesh, (nv, nblocks, mv_h, bc_h) = self.extract_mesh_wait(
+                h, store=False
+            )
+            nv_seen, nblocks_seen = max(nv_seen, nv), max(nblocks_seen, nblocks)
+            mv, bc = max(mv, mv_h), max(bc, bc_h)
+            out.append(mesh)
+        if handles:
             self._wire_caps_store(resolution, mv, nv_seen, bc, nblocks_seen)
-            out.append(self._wire_decode(fut, wire, nv, mv_used, resolution))
         return out

@@ -103,3 +103,55 @@ def test_matting_remove(rng):
     assert out.size == img.size
     alpha = np.asarray(out)[..., 3]
     assert alpha.min() >= 0 and alpha.max() <= 255
+
+
+class _GraySession:
+    """Stub session with a PARTIAL-alpha mask: exercises the
+    RGB-under-alpha difference between naive_cutout and putalpha."""
+
+    def predict_mask(self, image):
+        w, h = image.size
+        mask = np.zeros((h, w), np.uint8)
+        mask[: h // 2] = 255   # opaque top
+        mask[h // 2 :] = 100   # partial bottom
+        return Image.fromarray(mask, mode="L")
+
+
+def test_remove_cutout_modes_golden():
+    """remove() must match the reference's live surface option-for-option
+    (bg.py:149-238): naive_cutout default, putalpha/only_mask options,
+    bgcolor composite — golden-checked against the PIL recipes the
+    reference uses verbatim."""
+    from sculptmate_tpu.frontend.matting import remove
+
+    img = Image.fromarray(
+        np.full((8, 8, 3), (200, 80, 50), np.uint8), mode="RGB"
+    )
+    session = _GraySession()
+    mask = session.predict_mask(img)
+
+    # default == naive_cutout (bg.py:33-46,217): composite onto empty RGBA
+    out = remove(img, session=session)
+    expected = Image.composite(img, Image.new("RGBA", img.size, 0), mask)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(expected))
+    arr = np.asarray(out)
+    # opaque rows keep RGB; partial rows blend toward black, alpha == mask
+    assert tuple(arr[0, 0]) == (200, 80, 50, 255)
+    assert arr[7, 0, 3] == 100
+    assert (arr[7, 0, :3] < (200, 80, 50)).all()  # attenuated, NOT original
+
+    # putalpha (bg.py:49-61,214-215): original RGB survives under alpha
+    out_pa = remove(img, session=session, putalpha=True)
+    assert tuple(np.asarray(out_pa)[7, 0]) == (200, 80, 50, 100)
+
+    # only_mask (bg.py:210-211): the L mask itself; bgcolor ignored (bg.py:225)
+    out_m = remove(img, session=session, only_mask=True, bgcolor=(0, 255, 0, 255))
+    assert out_m.mode == "L"
+    np.testing.assert_array_equal(np.asarray(out_m), np.asarray(mask))
+
+    # bgcolor (bg.py:110-125): RGBA color behind the naive cutout
+    out_bg = remove(img, session=session, bgcolor=(0, 255, 0, 255))
+    cut = Image.composite(img, Image.new("RGBA", img.size, 0), mask)
+    exp_bg = Image.new("RGBA", img.size, (0, 255, 0, 255))
+    exp_bg.paste(cut, mask=cut)
+    np.testing.assert_array_equal(np.asarray(out_bg), np.asarray(exp_bg))

@@ -207,6 +207,129 @@ def test_tp_sf3d_encode_matches_unsharded(tiny_sf3d_pair, rng, monkeypatch):
     )
 
 
+def test_sf3d_farm_matches_run_image(tiny_sf3d_pair, rng):
+    """SF3DFarm (dp-sharded prepare+encode+estimator, one batched MT-wire
+    fetch, round-robined decimate/unwrap+bake) must reproduce the per-asset
+    ``run_image`` pipeline asset-for-asset on the 8-device dp mesh."""
+    from sculptmate_tpu.parallel.sf3d_farm import SF3DFarm
+
+    plain, _tp = tiny_sf3d_pair
+    mesh = make_mesh((8,), ("dp",))
+    farm = SF3DFarm(plain, mesh)
+    imgs = np.asarray(rng.random((8, 56, 56, 4)), np.float32)
+
+    # mean-level threshold on asset 0 (same recipe as test_sf3d_system)
+    from sculptmate_tpu.ops.density_grid import (
+        lattice_coords_tets,
+        query_grid_multihead,
+    )
+
+    codes0, _ = plain.get_scene_codes(
+        plain.prepare_image(jnp.asarray(imgs[:1]))[1]
+    )
+    g = query_grid_multihead(
+        codes0[0],
+        plain._head_weights(["density"]),
+        lattice_coords_tets(plain.config.isosurface_resolution),
+        plain.grid_spec(slab=1),
+    )
+    thr = float(np.exp(np.asarray(g["density"][0]) - 1.0).mean())
+
+    outs = farm.generate_batch(
+        jnp.asarray(imgs), bake_resolution=64, threshold=thr
+    )
+    assert len(outs) == 8
+    n_ok = 0
+    refs = []
+    for i, out in enumerate(outs):
+        ref = plain.run_image(
+            jnp.asarray(imgs[i : i + 1]), bake_resolution=64, threshold=thr,
+            fused=True,
+        )
+        refs.append(ref)
+        if out is None:
+            assert ref is None
+            continue
+        n_ok += 1
+        assert ref is not None
+        assert len(out["verts"]) == len(ref["verts"]), i
+        # topology must match exactly. Positions may drift: the farm's
+        # vmapped+dp-sharded program fuses differently from run_image's
+        # per-asset one, and the MT edge interpolation t = a/(a-b)
+        # amplifies last-ulp density differences without bound on
+        # near-degenerate edges (though never past the edge itself, one
+        # cell). Require the bulk tight and the worst case under a cell.
+        cell = 2 * plain.config.radius / plain.config.isosurface_resolution
+        err = np.abs(out["verts"] - ref["verts"]).max(axis=1)
+        assert np.quantile(err, 0.99) < 1e-4, np.quantile(err, 0.99)
+        assert err.max() < cell, err.max()
+        np.testing.assert_array_equal(out["faces"], ref["faces"])
+        # Atlas LAYOUT equality is NOT a stable invariant across the two
+        # programs: the unwrap resolves chart-overlap by depth, ties break
+        # on last-ulp drift, and ONE flipped face relocates every later
+        # island in the overflow pool (``uv_unwrap_device._unwrap_core``'s
+        # ids = cumsum(rem)) — measured 25-57% of UVs shifting from a
+        # 3e-5 vertex drift. Both layouts are valid; what must hold is
+        # that the UVs form a valid atlas (render equivalence is checked
+        # via texture sampling below).
+        assert np.all(out["uvs"] >= -1e-6) and np.all(out["uvs"] <= 1 + 1e-6)
+        assert set(out["texture_pngs"]) == {
+            "baseColor", "normal", "metallicRoughness",
+        }
+        assert abs(out["roughness"] - ref["roughness"]) < 2e-4
+        assert abs(out["metallic"] - ref["metallic"]) < 2e-4
+    assert n_ok >= 2
+
+    # render-equivalence + ROUTING: asset i's baked albedo, sampled on its
+    # own atlas at its own (vertex-matched) UVs, must agree with run_image's
+    # asset i far better than with ANY other asset — catches batched
+    # scene-code/estimator mis-indexing that the layout-tolerant checks
+    # above cannot. Empirical margins (f32, this fixture): identity mean
+    # error <= 0.041, cross >= 0.080.
+    def _sample(tex, uvs):
+        h, w = tex.shape[:2]
+        x = np.clip((uvs[:, 0] * w).astype(int), 0, w - 1)
+        y = np.clip((uvs[:, 1] * h).astype(int), 0, h - 1)
+        return np.asarray(tex, np.float32)[y, x]
+
+    for i, out in enumerate(outs):
+        if out is None:
+            continue
+        a = _sample(out["textures"]["albedo"], out["uvs"])
+        errs = {}
+        for j, ref in enumerate(refs):
+            if ref is None:
+                continue
+            b = _sample(ref["textures"]["albedo"], ref["uvs"])
+            m = min(len(a), len(b))
+            errs[j] = float(np.abs(a[:m] - b[:m]).mean())
+        assert errs[i] < 0.06, (i, errs[i])
+        cross = [e for j, e in errs.items() if j != i]
+        if cross:
+            assert errs[i] < 0.75 * min(cross), (i, errs)
+
+
+def test_sf3d_farm_no_texture(tiny_sf3d_pair, rng):
+    """Texture-less farm batches still produce unwrapped, decimated meshes."""
+    from sculptmate_tpu.parallel.sf3d_farm import SF3DFarm
+
+    plain, _tp = tiny_sf3d_pair
+    mesh = make_mesh((8,), ("dp",))
+    farm = SF3DFarm(plain, mesh)
+    imgs = jnp.asarray(rng.random((8, 56, 56, 4)), jnp.float32)
+    outs = farm.generate_batch(
+        imgs, bake_resolution=64, enable_texture=False, threshold=0.37
+    )
+    assert len(outs) == 8
+    for out in outs:
+        if out is None:
+            continue
+        assert out["texture_pngs"] is None
+        nv = len(out["verts"])
+        assert out["faces"].max() < nv
+        assert out["uvs"].shape == (nv, 2)
+
+
 def test_sharded_extract_matches_single_device(tiny_tsr, rng):
     """SP extraction (8 x-slabs, slab-local density + per-shard MC + host
     weld) must produce the identical mesh to single-device extraction."""

@@ -121,3 +121,69 @@ def test_image_to_mesh_no_colors(tiny_tsr, rng):
     assert c is None
     if len(f):
         assert f.max() < len(v)
+
+
+def test_explicit_caps_beat_persisted_cache(tiny_tsr, rng, monkeypatch, tmp_path):
+    """A stale giant persisted capacity must never silently inflate a
+    caller-sized dispatch (VERDICT r3 Weak #6): explicit max_verts wins,
+    the cache only fills unspecified values."""
+    monkeypatch.setenv("SCULPTMATE_CAP_CACHE", str(tmp_path))
+    from sculptmate_tpu.runtime import capacity_cache
+    from sculptmate_tpu.systems.tsr import TSR
+
+    # one huge noise asset poisoned the store with a 10M-vert capacity
+    capacity_cache.store("tsr_wire_r16", (10_000_000, 4096))
+    tsr = TSR(tiny_tsr.config, params=tiny_tsr.params, dtype=jnp.float32)
+
+    mv, _ = tsr._wire_caps(16, 4096, explicit=True)
+    assert mv == 4096
+    mv_default, _ = tsr._wire_caps(16, 4096, explicit=False)
+    assert mv_default == 10_000_000
+
+    # end-to-end: the first dispatch of an explicitly-sized extraction uses
+    # the caller's capacity, not the persisted one
+    img = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
+    codes = tsr.scene_codes(img)
+    from sculptmate_tpu.ops.density_grid import (
+        mlp_weights_from_params,
+        query_density_grid,
+    )
+
+    w = mlp_weights_from_params(tsr.params["decoder"]["layers"])
+    d = query_density_grid(codes[0], w, tsr.grid_spec(16, slab=4))
+    thr = float(np.asarray(d).mean())
+
+    dispatched = []
+    orig = tsr._extract_wire_jit
+
+    def spy(code, resolution, threshold, mv, want_colors, bc=0):
+        dispatched.append(mv)
+        return orig(code, resolution, threshold, mv, want_colors, bc)
+
+    tsr._extract_wire_jit = spy
+    verts, faces, _ = tsr.extract_mesh(
+        codes, resolution=16, threshold=thr, max_verts=4096
+    )[0]
+    assert dispatched[0] == 4096
+    assert len(verts) > 0 and faces.max() < len(verts)
+
+    # packed mode honors explicit max_verts/max_faces the same way
+    capacity_cache.store("tsr_packed_r16", (10_000_000, 20_000_000, 64, 0))
+    tsr2 = TSR(tiny_tsr.config, params=tiny_tsr.params, dtype=jnp.float32)
+    packed_dispatched = []
+    orig_packed = tsr2._extract_packed_jit
+
+    def spy_packed(code, resolution, threshold, mv, mf, want_colors,
+                   block_capacity=0, dense=False):
+        packed_dispatched.append((mv, mf))
+        return orig_packed(
+            code, resolution, threshold, mv, mf, want_colors,
+            block_capacity, dense,
+        )
+
+    tsr2._extract_packed_jit = spy_packed
+    tsr2.extract_mesh(
+        codes, resolution=16, threshold=thr, max_verts=4096, max_faces=8192,
+        mode="packed",
+    )
+    assert packed_dispatched[0] == (4096, 8192)
