@@ -42,8 +42,9 @@ import numpy as np
 
 BASELINE_SEC_PER_ASSET = 0.5
 RESOLUTION = 256
-N_ITERS = 9
-PIPELINE_DEPTH = 2
+N_BLOCKS = 3  # timed blocks of BLOCK pipelined iterations each
+BLOCK = 6  # long enough that one ~150 ms tunnel-latency spike costs <10%
+PIPELINE_DEPTH = 3
 
 
 def log(msg):
@@ -106,29 +107,43 @@ def bench_lean(tsr, matting):
     log(f"# capacities: max_verts={cap}")
 
     # steady state: keep PIPELINE_DEPTH iterations in flight so each wire
-    # fetch + native rebuild overlaps the next iterations' device compute
+    # fetch + native rebuild overlaps the next iterations' device compute.
+    # Retire PIPELINE_DEPTH results untimed first: the first retirement pays
+    # the whole pipeline-fill latency and the next few drain the backlog
+    # that built up behind it — startup transients in both directions, not
+    # the steady-state rate being measured.
     inflight = [dispatch() for _ in range(PIPELINE_DEPTH)]
-    times = []
-    t_prev = time.perf_counter()
-    for _ in range(N_ITERS):
+    for _ in range(PIPELINE_DEPTH):
         inflight.append(dispatch())
-        mesh, _ = tsr.extract_mesh_wait(inflight.pop(0), store=False)
-        t_now = time.perf_counter()
-        times.append(t_now - t_prev)
-        t_prev = t_now
+        tsr.extract_mesh_wait(inflight.pop(0), store=False)
+    # time BLOCK-iteration blocks, not single retirements: retirements
+    # oscillate anti-correlated around the steady rate (a slow tunnel sync
+    # is followed by a fast backlog drain), so per-retirement spread
+    # overstates variance that block throughput doesn't actually have
+    iter_times = []
+    block_times = []
+    for _ in range(N_BLOCKS):
+        t_block = time.perf_counter()
+        for _ in range(BLOCK):
+            t0 = time.perf_counter()
+            inflight.append(dispatch())
+            tsr.extract_mesh_wait(inflight.pop(0), store=False)
+            iter_times.append(time.perf_counter() - t0)
+        block_times.append((time.perf_counter() - t_block) / BLOCK)
     for h in inflight:  # drain
         tsr.extract_mesh_wait(h, store=False)
 
-    dt = float(np.median(times))
-    spread = (max(times) - min(times)) / dt
-    log(f"# iteration times: {[round(t, 3) for t in times]}")
+    dt = float(np.median(block_times))
+    spread = (max(block_times) - min(block_times)) / dt
+    log(f"# iteration times: {[round(t, 3) for t in iter_times]}")
+    log(f"# block sec/asset: {[round(t, 4) for t in block_times]}")
     log(f"# median {dt:.4f}s spread {spread:.3f}")
     return {
         "metric": "e2e_image_to_mesh",
         "value": round(dt, 4),
         "unit": "sec/asset",
         "vs_baseline": round(BASELINE_SEC_PER_ASSET / dt, 3),
-        "iterations": N_ITERS,
+        "iterations": N_BLOCKS * BLOCK,
         "spread": round(float(spread), 3),
     }
 

@@ -77,6 +77,8 @@ class AssetFarm:
                     return _encode(params, images)
 
             self._encode = _encode_with_mesh
+        self._module = module
+        self._front_cache = {}
 
         @functools.partial(
             jax.jit,
@@ -204,8 +206,25 @@ class AssetFarm:
         ``mc_wire_device`` -> ONE (B, W) uint8 fetch -> native per-asset
         face rebuild. Returns [(verts (nv,3) f32 world, faces (nf,3) i64,
         colors (nv,3) f32 | None), ...]."""
-        from sculptmate_tpu.geometry import mc_wire
+        return self.extract_batch_wire_wait(
+            self.extract_batch_wire_async(
+                codes, resolution, threshold, max_verts, has_vertex_color
+            )
+        )
 
+    def extract_batch_wire_async(
+        self,
+        codes,
+        resolution: int = 256,
+        threshold: float = 25.0,
+        max_verts: int = 0,
+        has_vertex_color: bool = False,
+    ):
+        """Non-blocking dispatch of the dp-sharded wire extraction (its D2H
+        copy is queued async). Returns an opaque handle for
+        ``extract_batch_wire_wait`` — ``generate_batch_rgba``'s chunked
+        serving loop keeps two chunks in flight so chunk i's fetch + native
+        rebuild overlaps chunk i+1's device compute."""
         # explicit caller capacity wins over the warmed cache (same policy
         # as TSR._wire_caps): a stale giant value must not inflate the fetch
         explicit = max_verts > 0
@@ -219,14 +238,24 @@ class AssetFarm:
             mv = max_verts
             bc = default_block_capacity(resolution, mv)
 
+        fut = self._extract_wire(
+            self.params, codes, resolution, float(threshold), mv, bc,
+            bool(has_vertex_color),
+        )
+        fut.copy_to_host_async()
+        return (codes, fut, mv, bc, resolution, float(threshold),
+                bool(has_vertex_color))
+
+    def extract_batch_wire_wait(self, handle):
+        """Block on a handle from ``extract_batch_wire_async`` -> list of
+        (verts, faces, colors|None) triples. Capacity overflow is detected
+        from the exact wire counters and re-dispatched, never truncated."""
+        from sculptmate_tpu.geometry import mc_wire
+
+        codes, fut, mv, bc, resolution, threshold, has_vertex_color = handle
         shape = (resolution, resolution, resolution)
         while True:
-            wires = np.asarray(
-                self._extract_wire(
-                    self.params, codes, resolution, float(threshold), mv, bc,
-                    bool(has_vertex_color),
-                )
-            )  # ONE dp-sharded D2H fetch for the whole batch
+            wires = np.asarray(fut)  # ONE dp-sharded D2H fetch for the batch
             counts = np.stack(
                 [mc_wire.wire_counts(w, mc_wire.N_WIRE_COUNTS) for w in wires]
             )
@@ -235,18 +264,21 @@ class AssetFarm:
             # overflow detected from the exact counters, never truncated
             if nb_max > bc:
                 bc = max(bc + 1, int(nb_max * 1.2))
-                continue
-            if nv_max > mv:
+            elif nv_max > mv:
                 mv = max(mv, 65536 * -(-int(1.2 * nv_max) // 65536))
-                continue
-            break
+            else:
+                break
+            fut = self._extract_wire(
+                self.params, codes, resolution, threshold, mv, bc,
+                has_vertex_color,
+            )
         self._wire_caps[resolution] = (mv, bc)
 
         scale = 2 * self.tsr.config.radius / (resolution - 1.0)
         out = []
         for w, (nv, _nb) in zip(wires, counts):
             verts, faces, colors, _ = mc_wire.decode_wire(
-                w, shape, mv, has_colors=bool(has_vertex_color)
+                w, shape, mv, has_colors=has_vertex_color
             )
             out.append(
                 (
@@ -257,22 +289,9 @@ class AssetFarm:
             )
         return out
 
-    def generate_batch_rgba(
-        self,
-        rgba: jnp.ndarray,
-        matting=None,
-        ratio: float = 0.75,
-        resolution: int = 256,
-        threshold: float = 25.0,
-        max_verts: int = 0,
-        max_faces: int = 0,
-        mode: str = "wire",
-        has_vertex_color: bool = False,
-    ):
-        """Full streaming pipeline (BASELINE config 5): raw RGBA batch ->
-        (optional) u2net matting -> fused device preprocess -> encode ->
-        extract, all stages batch-sharded over the dp axis. Extraction mode
-        semantics as in ``generate_batch`` (wire triples by default)."""
+    def _prep_cond(self, rgba, matting, ratio: float):
+        """Device-side matting + fused preprocess for one dp-sharded chunk
+        (all dispatches async — no host sync)."""
         from sculptmate_tpu.frontend.preprocess import preprocess_batch_device
         from sculptmate_tpu.frontend.matting import U2NET_SIZE
 
@@ -291,11 +310,128 @@ class AssetFarm:
             )
             rgba = jnp.concatenate([rgba[..., :3], alpha], axis=-1)
         size = self.tsr.config.cond_image_size
-        cond = preprocess_batch_device(rgba, ratio=ratio, out_size=size)
-        return self.generate_batch(
-            cond, resolution, threshold, max_verts, max_faces,
-            mode=mode, has_vertex_color=has_vertex_color,
+        return preprocess_batch_device(rgba, ratio=ratio, out_size=size)
+
+    def _front(self, matting, ratio: float):
+        """ONE jitted dp-sharded program for matting + fused preprocess +
+        encode. Fusing matters on the serving path: issuing these as
+        separate op-by-op dispatches costs ~130 ms of host time per chunk
+        on the single-core host (measured), which starves the pipelined
+        loop; one program is one dispatch."""
+        key = (id(matting), float(ratio))
+        fn = self._front_cache.get(key)
+        if fn is not None:
+            return fn
+
+        from sculptmate_tpu.frontend.preprocess import preprocess_batch_device
+        from sculptmate_tpu.frontend.matting import U2NET_SIZE
+
+        mesh, dp_axis = self.mesh, self.dp_axis
+        module = self._module
+        size = self.tsr.config.cond_image_size
+
+        @functools.partial(
+            jax.jit,
+            in_shardings=(
+                NamedSharding(mesh, P()),
+                NamedSharding(mesh, P(dp_axis)),
+            ),
+            out_shardings=NamedSharding(mesh, P(dp_axis)),
         )
+        def front(params, rgba):
+            if matting is not None:
+                small = jax.image.resize(
+                    rgba[..., :3],
+                    (rgba.shape[0], U2NET_SIZE, U2NET_SIZE, 3),
+                    "linear",
+                )
+                mask = matting._predict(matting.variables, small)
+                alpha = jax.image.resize(
+                    mask[..., None],
+                    (rgba.shape[0], rgba.shape[1], rgba.shape[2], 1),
+                    "linear",
+                )
+                rgba = jnp.concatenate([rgba[..., :3], alpha], axis=-1)
+            cond = preprocess_batch_device(rgba, ratio=ratio, out_size=size)
+            return module.apply({"params": params}, cond)
+
+        if self.tp_axis is not None:
+            inner = front
+
+            def front(params, rgba):  # noqa: F811
+                with jax.sharding.set_mesh(mesh):
+                    return inner(params, rgba)
+
+        self._front_cache[key] = front
+        return front
+
+    def generate_batch_rgba(
+        self,
+        rgba: jnp.ndarray,
+        matting=None,
+        ratio: float = 0.75,
+        resolution: int = 256,
+        threshold: float = 25.0,
+        max_verts: int = 0,
+        max_faces: int = 0,
+        mode: str = "wire",
+        has_vertex_color: bool = False,
+        chunk: Optional[int] = None,
+    ):
+        """Full streaming pipeline (BASELINE config 5): raw RGBA batch ->
+        (optional) u2net matting -> fused device preprocess -> encode ->
+        extract, all stages batch-sharded over the dp axis. Extraction mode
+        semantics as in ``generate_batch`` (wire triples by default).
+
+        In wire mode the batch is processed in ``chunk``-sized dp-sharded
+        slices (default: the dp axis size, i.e. one asset per device) with
+        TWO chunks in flight: chunk i's D2H wire fetch + native face rebuild
+        on the host overlap chunk i+1's matting/encode/extraction on the
+        devices. This is what makes single-chip serving throughput match the
+        pipelined per-asset loop (``TSR.extract_mesh_async``) instead of
+        serializing one big fetch + B host decodes after all device work."""
+        B = rgba.shape[0]
+        dp = int(self.mesh.shape[self.dp_axis])
+        if mode != "wire":
+            cond = self._prep_cond(rgba, matting, ratio)
+            return self.generate_batch(
+                cond, resolution, threshold, max_verts, max_faces,
+                mode=mode, has_vertex_color=has_vertex_color,
+            )
+
+        if chunk is None:
+            chunk = dp
+        if chunk % dp != 0 or B % chunk != 0:
+            raise ValueError(
+                f"batch {B} must split into dp-divisible chunks "
+                f"(chunk={chunk}, dp={dp})"
+            )
+        if max_faces > 0:
+            raise ValueError(
+                "max_faces is not applicable in wire mode (faces are "
+                "rebuilt on the host from the wire counters); use "
+                'mode="packed" to bound the device face capacity'
+            )
+
+        front = self._front(matting, ratio)
+        out = []
+        inflight = []
+        for s in range(0, B, chunk):
+            sl = jax.device_put(
+                rgba[s : s + chunk],
+                NamedSharding(self.mesh, P(self.dp_axis)),
+            )
+            codes = front(self.params, sl)
+            inflight.append(
+                self.extract_batch_wire_async(
+                    codes, resolution, threshold, max_verts, has_vertex_color
+                )
+            )
+            if len(inflight) > 2:
+                out.extend(self.extract_batch_wire_wait(inflight.pop(0)))
+        for h in inflight:
+            out.extend(self.extract_batch_wire_wait(h))
+        return out
 
 
 def sharded_density_grid(

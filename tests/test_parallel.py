@@ -105,6 +105,18 @@ def test_asset_farm_full_pipeline_rgba(tiny_tsr, rng):
         if len(faces):
             assert faces.max() < len(verts)
 
+    # chunked pipelined serving (2 dp-sharded chunks in flight) must
+    # produce asset-for-asset identical meshes to the one-shot batch
+    mesh2 = make_mesh((2,), ("dp",), devices=jax.devices()[:2])
+    farm2 = AssetFarm(tiny_tsr, mesh2)
+    meshes2 = farm2.generate_batch_rgba(
+        jnp.asarray(rgba), matting=None, resolution=16, threshold=0.36
+    )  # default chunk = dp size 2 -> 4 chunks, pipelined
+    assert len(meshes2) == 8
+    for (v, f, _), (v2, f2, _) in zip(meshes, meshes2):
+        np.testing.assert_allclose(v, v2, atol=2e-5)
+        np.testing.assert_array_equal(f, f2)
+
 
 def test_sharded_density_grid_sp(tiny_tsr, rng):
     from sculptmate_tpu.ops.density_grid import (
