@@ -25,6 +25,9 @@ primary metric always lands:
   reference's 256^3 x 8192-chunk host loop, ``TripoSR/generate.py:11-13``).
 - ``farm_sec_per_asset``: batched 8-image throughput via the AssetFarm API
   (config 5) on this chip's 1-device dp mesh.
+- ``sf3d_farm_sec_per_asset``: SF3D at batch scale via ``SF3DFarm`` (host
+  decode/decimate of asset i round-robined against device unwrap+bake of
+  asset i+1).
 
 Baseline: TripoSR ~0.5 s/image on an NVIDIA A100 (arxiv 2403.02151, via
 PAPERS.md; the reference repo itself publishes no numbers — BASELINE.md).
@@ -148,7 +151,7 @@ def bench_lean(tsr, matting):
     }
 
 
-def bench_sf3d():
+def bench_sf3d(state):
     """Config 3: SF3D image -> UV-unwrapped baked 512^2 PBR textures."""
     from sculptmate_tpu.systems.sf3d import SF3D
     from sculptmate_tpu.ops.density_grid import (
@@ -169,6 +172,7 @@ def bench_sf3d():
     )
     d = np.exp(np.asarray(g["density"][0]) - 1.0)
     threshold = float(np.quantile(d, 0.99))
+    state["sf3d"], state["sf3d_threshold"] = sf3d, threshold
 
     mesh = sf3d.run_image(img, bake_resolution=512, threshold=threshold)
     if mesh is None:
@@ -182,6 +186,36 @@ def bench_sf3d():
         sf3d.run_image(img, bake_resolution=512, threshold=threshold)
         times.append(time.perf_counter() - t0)
     log(f"# sf3d times: {[round(t, 2) for t in times]}")
+    return float(np.median(times))
+
+
+def bench_sf3d_farm(state, batch: int = 2):
+    """SF3D at batch scale through ``SF3DFarm`` (dp-sharded front + one
+    batched MT-wire fetch + host decode/decimate round-robined against the
+    device unwrap+bake). On this one-chip host dp=1; the win over the
+    sequential ``run_image`` loop is the host/device overlap."""
+    from jax.sharding import Mesh
+
+    from sculptmate_tpu.parallel.sf3d_farm import SF3DFarm
+
+    sf3d, threshold = state["sf3d"], state["sf3d_threshold"]
+    devs = np.array(jax.devices())
+    mesh = Mesh(devs.reshape(len(devs)), ("dp",))
+    farm = SF3DFarm(sf3d, mesh)
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.random((batch, 512, 512, 4), np.float32))
+
+    meshes = farm.generate_batch(
+        imgs, bake_resolution=512, threshold=threshold
+    )  # warmup (compiles + capacity calibration)
+    log(f"# sf3d farm warmup: {[len(m['verts']) for m in meshes if m]} verts")
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        farm.generate_batch(imgs, bake_resolution=512, threshold=threshold)
+        times.append((time.perf_counter() - t0) / batch)
+    log(f"# sf3d farm per-asset times: {[round(t, 2) for t in times]}")
     return float(np.median(times))
 
 
@@ -200,17 +234,33 @@ def bench_highres(tsr):
     d64 = np.asarray(query_density_grid(codes[0], w, tsr.grid_spec(64)))
     threshold = float(np.quantile(d64, 0.995))
 
-    verts, faces, _ = tsr.extract_mesh(
-        codes, resolution=512, threshold=threshold
-    )[0]
+    cap = 0
+
+    def dispatch():
+        return tsr.extract_mesh_async(
+            codes[0], resolution=512, threshold=threshold, max_verts=cap
+        )
+
+    verts, faces, _ = tsr.extract_mesh_wait(dispatch())[0]
     log(f"# 512^3 warmup: {len(verts)} verts {len(faces)} faces")
-    times = []
-    for _ in range(3):
+    cap = 65536 * -(-int(len(verts) * 1.25) // 65536)
+    # pipelined like the lean loop (one extra extraction in flight) so the
+    # ~25 MB wire fetch rides under the next iteration's device compute;
+    # timed as blocks of 3 for the same anti-correlation reason
+    inflight = [dispatch()]
+    tsr.extract_mesh_wait(inflight.pop(0), store=False)  # warm sized program
+    inflight = [dispatch()]
+    block_times = []
+    for _ in range(2):
         t0 = time.perf_counter()
-        tsr.extract_mesh(codes, resolution=512, threshold=threshold)
-        times.append(time.perf_counter() - t0)
-    log(f"# 512^3 times: {[round(t, 2) for t in times]}")
-    return float(np.median(times))
+        for _ in range(3):
+            inflight.append(dispatch())
+            tsr.extract_mesh_wait(inflight.pop(0), store=False)
+        block_times.append((time.perf_counter() - t0) / 3)
+    for h in inflight:
+        tsr.extract_mesh_wait(h, store=False)
+    log(f"# 512^3 block sec/asset: {[round(t, 2) for t in block_times]}")
+    return float(np.median(block_times))
 
 
 def bench_farm(tsr, matting, batch: int = 8):
@@ -273,10 +323,12 @@ def main():
 
     # extra configs, cheapest-first, each skipped if the remaining budget
     # cannot plausibly cover a cold-cache run of it
+    state = {}
     extras = (
         ("farm_sec_per_asset", lambda: bench_farm(tsr, matting), 240),
         ("highres512_sec", lambda: bench_highres(tsr), 240),
-        ("sf3d_sec_per_asset", bench_sf3d, 600),
+        ("sf3d_sec_per_asset", lambda: bench_sf3d(state), 600),
+        ("sf3d_farm_sec_per_asset", lambda: bench_sf3d_farm(state), 300),
     )
     for key, fn, reserve in extras:
         left = deadline - time.monotonic()
