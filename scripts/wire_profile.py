@@ -9,7 +9,12 @@ import numpy as np
 import sculptmate_tpu  # noqa: F401
 from sculptmate_tpu.systems.tsr import TSR
 from sculptmate_tpu.ops.density_grid import mlp_weights_from_params, query_density_grid
-from sculptmate_tpu.geometry.marching_cubes import _vertex_side, mc_wire_device, pack_bits_u8
+from sculptmate_tpu.geometry.marching_cubes import (
+    _vertex_side,
+    _vertex_side_wire,
+    mc_wire_device,
+    pack_bits_u8,
+)
 from sculptmate_tpu.geometry import mc_wire
 
 import sys
@@ -59,7 +64,13 @@ def main():
             lv, lv > 0, jnp.arange(R) < R - 1, MV, BC, False
         )[0].sum(),
         )
-    timeit("vertex side (masks+vid+compact+pos)", vside, level)
+    timeit("vertex side z-order (packed path)", vside, level)
+    vside_w = jax.jit(
+        lambda lv: _vertex_side_wire(
+            lv, lv > 0, jnp.arange(R) < R - 1, MV, BC
+        )[0].sum(),
+        )
+    timeit("vertex side block-major (wire path)", vside_w, level)
 
     pack = jax.jit(lambda lv: pack_bits_u8((lv > 0).ravel()))
     timeit("occupancy bitpack", pack, level)

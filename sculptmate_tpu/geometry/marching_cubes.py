@@ -120,29 +120,10 @@ def _compact_blocks(block_mask_flat: jnp.ndarray, cap: int):
     return ids, count
 
 
-def _vertex_side(
-    level: jnp.ndarray,
-    inside: jnp.ndarray,
-    valid_x: jnp.ndarray,
-    max_verts: int,
-    block_capacity: int,
-    dense: bool,
-):
-    """Cut-edge detection + vid field + compaction + vertex positions.
+def _cut_masks(inside: jnp.ndarray, valid_x: jnp.ndarray):
+    """Per-axis cut-edge masks (elementwise passes over the full grid)."""
+    RX, RY, RZ = inside.shape
 
-    Shared by ``marching_cubes`` (full device MC) and ``mc_wire_device`` (the
-    compact D2H wire format). Returns
-    (vx, vy, vz, t, valid_v, vid, num_verts, n_vblocks, masks).
-    """
-    RX, RY, RZ = level.shape
-    n3 = RX * RY * RZ
-    syz = RY * RZ
-    nbx, nby, nbz = RX // BS, RY // BS, RZ // BS
-    NB = nbx * nby * nbz
-    local_off = jnp.asarray(_block_local_offsets(RY, RZ))
-    block_base = jnp.asarray(_block_bases(RX, RY, RZ))
-
-    # -- cut-edge masks (elementwise) -------------------------------------
     def cut_mask(axis: int) -> jnp.ndarray:
         m = jnp.zeros((RX, RY, RZ), bool)
         if axis == 0:
@@ -154,7 +135,70 @@ def _vertex_side(
             m = m.at[:, :, : RZ - 1].set(inside[:, :, :-1] != inside[:, :, 1:])
         return m
 
-    masks = [cut_mask(a) for a in range(3)]
+    return [cut_mask(a) for a in range(3)]
+
+
+def _compacted_positions(level: jnp.ndarray, edge_idx: jnp.ndarray):
+    """(max_verts,) compacted flat edge ids -> per-vertex positions + t.
+
+    The interpolation parameter is computed FULL-GRID elementwise (three
+    shifted ratios, pure bandwidth: ~0.5 ms at 256^3) and gathered ONCE at
+    the compacted edges — element gathers run at ~40 M elem/s on TPU, so
+    two per-edge level gathers (l0, l1) would cost ~40 ms here."""
+    RX, RY, RZ = level.shape
+    n3 = RX * RY * RZ
+    syz = RY * RZ
+    valid_v = edge_idx < 3 * n3
+    safe_idx = jnp.where(valid_v, edge_idx, 0)
+    axis = safe_idx // n3
+    lin = safe_idx % n3
+    i = lin // syz
+    j = (lin // RZ) % RY
+    k = lin % RZ
+
+    def t_axis(a: int) -> jnp.ndarray:
+        if a == 0:
+            l1 = jnp.concatenate([level[1:], level[-1:]], axis=0)
+        elif a == 1:
+            l1 = jnp.concatenate([level[:, 1:], level[:, -1:]], axis=1)
+        else:
+            l1 = jnp.concatenate([level[:, :, 1:], level[:, :, -1:]], axis=2)
+        denom = level - l1
+        return jnp.clip(
+            level / jnp.where(denom == 0, 1.0, denom), 0.0, 1.0
+        ).ravel()
+
+    t_all = jnp.concatenate([t_axis(a) for a in range(3)])  # (3 n3,)
+    t = t_all[safe_idx]
+
+    vx = jnp.where(valid_v, i.astype(jnp.float32) + t * (axis == 0), 0.0)
+    vy = jnp.where(valid_v, j.astype(jnp.float32) + t * (axis == 1), 0.0)
+    vz = jnp.where(valid_v, k.astype(jnp.float32) + t * (axis == 2), 0.0)
+    return vx, vy, vz, t, valid_v
+
+
+def _vertex_side(
+    level: jnp.ndarray,
+    inside: jnp.ndarray,
+    valid_x: jnp.ndarray,
+    max_verts: int,
+    block_capacity: int,
+    dense: bool,
+):
+    """Cut-edge detection + vid field + compaction + vertex positions.
+
+    Used by ``marching_cubes`` (full device MC — its face table gathers the
+    full-grid z-order vid field per face corner). Returns
+    (vx, vy, vz, t, valid_v, vid, num_verts, n_vblocks, masks).
+    """
+    RX, RY, RZ = level.shape
+    n3 = RX * RY * RZ
+    nbx, nby, nbz = RX // BS, RY // BS, RZ // BS
+    NB = nbx * nby * nbz
+    local_off = jnp.asarray(_block_local_offsets(RY, RZ))
+    block_base = jnp.asarray(_block_bases(RX, RY, RZ))
+
+    masks = _cut_masks(inside, valid_x)
 
     # -- global vertex ids -------------------------------------------------
     # same values as cumsum(mask_flat) - 1 over the concatenated flat masks,
@@ -218,38 +262,172 @@ def _vertex_side(
             .set(gidx.ravel().astype(jnp.int32), mode="drop")
         )
 
-    # -- vertex positions --------------------------------------------------
-    valid_v = edge_idx < 3 * n3
-    safe_idx = jnp.where(valid_v, edge_idx, 0)
-    axis = safe_idx // n3
-    lin = safe_idx % n3
-    i = lin // syz
-    j = (lin // RZ) % RY
-    k = lin % RZ
-
-    # interpolation parameter t per edge, computed FULL-GRID elementwise
-    # (three shifted ratios, pure bandwidth: ~0.5 ms at 256^3) and gathered
-    # ONCE at the compacted edges — element gathers run at ~40 M elem/s on
-    # TPU, so the former two level gathers (l0, l1) cost ~40 ms here
-    def t_axis(a: int) -> jnp.ndarray:
-        if a == 0:
-            l1 = jnp.concatenate([level[1:], level[-1:]], axis=0)
-        elif a == 1:
-            l1 = jnp.concatenate([level[:, 1:], level[:, -1:]], axis=1)
-        else:
-            l1 = jnp.concatenate([level[:, :, 1:], level[:, :, -1:]], axis=2)
-        denom = level - l1
-        return jnp.clip(
-            level / jnp.where(denom == 0, 1.0, denom), 0.0, 1.0
-        ).ravel()
-
-    t_all = jnp.concatenate([t_axis(a) for a in range(3)])  # (3 n3,)
-    t = t_all[safe_idx]
-
-    vx = jnp.where(valid_v, i.astype(jnp.float32) + t * (axis == 0), 0.0)
-    vy = jnp.where(valid_v, j.astype(jnp.float32) + t * (axis == 1), 0.0)
-    vz = jnp.where(valid_v, k.astype(jnp.float32) + t * (axis == 2), 0.0)
+    vx, vy, vz, t, valid_v = _compacted_positions(level, edge_idx)
     return vx, vy, vz, t, valid_v, vid, num_verts, n_vblocks, masks
+
+
+def _vertex_side_wire(
+    level: jnp.ndarray,
+    inside: jnp.ndarray,
+    valid_x: jnp.ndarray,
+    max_verts: int,
+    block_capacity: int,
+):
+    """Cut-edge detection + BLOCK-MAJOR vertex numbering + compaction.
+
+    Wire-format variant of ``_vertex_side``: vertices are numbered in
+    (axis, block, in-block ox/oy/oz) order — the exact order the native
+    decoder (``native/mc_wire.cpp:build_prefix``) re-derives from the
+    occupancy bits — so the global z-order vertex-id field drops out
+    entirely: no three full-grid z-cumsums, no three i32 block re-tilings,
+    and no (block_capacity, 512) i32 vid row gather. The id is the block's
+    exclusive cut-count prefix (a (3 NB,) cumsum) plus an in-row exclusive
+    prefix of the already-gathered mask rows. At the noise-surface block
+    capacity bench.py runs at (~82 K rows = 42 M gathered elements) this
+    removes roughly half the compaction traffic.
+    """
+    RX, RY, RZ = level.shape
+    n3 = RX * RY * RZ
+    nbx, nby, nbz = RX // BS, RY // BS, RZ // BS
+    NB = nbx * nby * nbz
+    local_off = jnp.asarray(_block_local_offsets(RY, RZ))
+    block_base = jnp.asarray(_block_bases(RX, RY, RZ))
+
+    masks = _cut_masks(inside, valid_x)
+
+    def block_cnt(m):
+        return (
+            m.reshape(nbx, BS, nby, BS, nbz, BS)
+            .sum(axis=(1, 3, 5), dtype=jnp.int32)
+            .ravel()
+        )
+
+    vcnt = jnp.concatenate([block_cnt(m) for m in masks])  # (3 NB,)
+    num_verts = jnp.sum(vcnt)
+    vblock_mask = vcnt > 0
+    n_vblocks = jnp.sum(vblock_mask.astype(jnp.int32))
+    vbase = jnp.cumsum(vcnt) - vcnt  # exclusive block-major vid base
+
+    vblk_ids, _ = _compact_blocks(vblock_mask, block_capacity)
+    vblk_valid = vblk_ids < 3 * NB
+    vb_safe = jnp.where(vblk_valid, vblk_ids, 0)
+    vb_axis = vb_safe // NB
+    vb_base = block_base[vb_safe % NB]
+
+    # ONE (block_capacity, 512) bool row gather (vs mask + i32 vid in the
+    # z-order path); ids come from arithmetic + an in-row prefix instead
+    mask_b = jnp.concatenate([to_blocked_rows(m) for m in masks], axis=0)
+    gmask = mask_b[vb_safe] & vblk_valid[:, None]  # (A, 512)
+    row_src_base = vb_axis * n3 + vb_base  # flat id of each row's slot 0
+    edge_idx = scatter_compact_rows(
+        gmask, vbase[vb_safe], row_src_base, local_off, max_verts, 3 * n3
+    )
+
+    vx, vy, vz, t, valid_v = _compacted_positions(level, edge_idx)
+    return vx, vy, vz, t, valid_v, num_verts, n_vblocks
+
+
+def scatter_compact_rows(
+    gmask: jnp.ndarray,
+    vrow_base: jnp.ndarray,
+    row_src_base: jnp.ndarray,
+    local_off: jnp.ndarray,
+    max_verts: int,
+    domain: int,
+):
+    """(A, 512) gathered cut-mask rows -> (max_verts,) compacted flat edge
+    ids (fill = ``domain`` for empty slots), vertices numbered block-major:
+    row b's cut edges land at [vrow_base[b], vrow_base[b] + count_b), each
+    carrying ``row_src_base[b] + local_off[slot]``.
+
+    Shared by the MC and MT wire paths. Two strategies, picked per input at
+    run time (scatter-set costs ~6 ms per MILLION update slots on v5e, even
+    dropped ones — measured):
+
+    - direct: one update slot per gathered element (A x 512). Right when A
+      is small (ordinary objects: the surface touches a few thousand
+      blocks); pathological on noise-dense fields (bench.py's random-weight
+      256^3 surface: A ~ 82 K -> 42 M slots ~ 200 ms — was the whole lean
+      path's bottleneck).
+    - hybrid: a one-hot contraction on the vector units packs each row's
+      <= K cut edges into K slots (out[b, r] = sum_s [within==r][mask] *
+      payload[s], bandwidth-bound, ~13 ms for 82 K rows), then ONE (A, K)
+      scatter — 8x fewer update slots. Rows with more than K cuts (smooth
+      pockets: a plane through an 8^3 block cuts 64-200 edges) are block-
+      compacted into an (O_CAP, 512) overflow tail and direct-scattered —
+      a full-width masked scatter would cost the whole A x 512 again.
+    """
+    A = int(gmask.shape[0])
+    gm_i = gmask.astype(jnp.int32)
+    within = jnp.cumsum(gm_i, axis=1) - gm_i
+    cnt = within[:, -1] + gm_i[:, -1]  # (A,) cut edges per block row
+    sink = max_verts
+    K = 64  # per-row compaction width (noise surfaces avg ~9 cuts/block)
+    O_CAP = max(256, A // 8)
+
+    def scatter_direct(_):
+        dst = jnp.where(gmask, vrow_base[:, None] + within, sink)
+        gidx = row_src_base[:, None] + local_off[None, :]
+        return (
+            jnp.full((max_verts,), domain, jnp.int32)
+            .at[dst.ravel()]
+            .set(gidx.ravel().astype(jnp.int32), mode="drop")
+        )
+
+    def scatter_mxu(_):
+        r = jnp.arange(K, dtype=jnp.int32)
+        # payload = in-block flat offset + 1 (0 = empty slot); < 2^24 so
+        # f32-exact (bf16 cannot represent every offset)
+        payload = (local_off + 1).astype(jnp.float32)
+        C = 8192  # row slab: bounds the (C, 512, K) f32 one-hot at 256 MB
+        Ap = -(-A // C) * C
+        wp = jnp.pad(within, ((0, Ap - A), (0, 0)))
+        mp = jnp.pad(gmask, ((0, Ap - A), (0, 0)))
+
+        def slab(args):
+            wc, mc = args  # (C, 512)
+            sel = (
+                (wc[:, :, None] == r[None, None, :]) & mc[:, :, None]
+            ).astype(jnp.float32)
+            return jax.lax.dot_general(
+                jnp.broadcast_to(payload[None, None, :], (C, 1, 512)),
+                sel,
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )[:, 0, :]
+
+        loc = jax.lax.map(
+            slab, (wp.reshape(-1, C, 512), mp.reshape(-1, C, 512))
+        ).reshape(Ap, K)[:A]
+        local = jnp.round(loc).astype(jnp.int32) - 1  # (A, K) slot in block
+        valid = r[None, :] < cnt[:, None]
+        dst = jnp.where(valid, vrow_base[:, None] + r[None, :], sink)
+        src = row_src_base[:, None] + jnp.maximum(local, 0)
+        edge_idx = (
+            jnp.full((max_verts,), domain, jnp.int32)
+            .at[dst.ravel()]
+            .set(src.ravel().astype(jnp.int32), mode="drop")
+        )
+
+        # overflow tail (rows with cnt > K), block-compacted first
+        (orow,) = jnp.nonzero(cnt > K, size=O_CAP, fill_value=A)
+        ovalid = orow < A
+        osafe = jnp.where(ovalid, orow, 0)
+        om = gmask[osafe] & ovalid[:, None] & (within[osafe] >= K)
+        odst = jnp.where(om, vrow_base[osafe][:, None] + within[osafe], sink)
+        osrc = row_src_base[osafe][:, None] + local_off[None, :]
+        return edge_idx.at[odst.ravel()].set(
+            osrc.ravel().astype(jnp.int32), mode="drop"
+        )
+
+    # beyond O_CAP overflow rows the field is smooth-dense everywhere —
+    # exactly where A is small and the direct scatter is already cheap
+    return jax.lax.cond(
+        jnp.sum((cnt > K).astype(jnp.int32)) > O_CAP,
+        scatter_direct,
+        scatter_mxu,
+        operand=None,
+    )
 
 
 def pack_bits_u8(flags: jnp.ndarray) -> jnp.ndarray:
@@ -283,6 +461,13 @@ def mc_wire_device(
     (``native/mc_wire.cpp``) from the same tables. Positions reconstruct to
     |err| <= 2^-16 lattice units (t is uint16); colors are uint8.
 
+    Vertex order (the order of the t/color entries) is BLOCK-MAJOR —
+    (axis, 8^3 block, in-block x/y/z) — NOT flat z-order: it lets the device
+    derive ids from per-block prefixes instead of full-grid cumsums + an i32
+    row gather (see ``_vertex_side_wire``), and the decoders re-derive the
+    same order from the occupancy bits (order version 2, checked via
+    ``mc_wire_order_version``).
+
     ``color_fn``: optional trace-time callback ``(vx, vy, vz, valid_v) ->
     (r, g, b)`` float rows in [0, 1] (e.g. a color-MLP query at the vertex
     positions, which are in lattice index coordinates).
@@ -303,8 +488,8 @@ def mc_wire_device(
     if valid_x is None:
         valid_x = jnp.arange(RX) < RX - 1
 
-    vx, vy, vz, t, valid_v, _vid, num_verts, n_vblocks, _masks = _vertex_side(
-        level, inside, valid_x, max_verts, block_capacity, False
+    vx, vy, vz, t, valid_v, num_verts, n_vblocks = _vertex_side_wire(
+        level, inside, valid_x, max_verts, block_capacity
     )
 
     occ_bytes = pack_bits_u8(inside.ravel())  # (n3/8,)

@@ -206,7 +206,18 @@ def _mt_vertex_side(
         .set(gidx.ravel().astype(jnp.int32), mode="drop")
     )
 
-    # -- vertex positions ---------------------------------------------------
+    vx, vy, vz, valid_v = _mt_positions(
+        sdf_flat, dxp, dyp, dzp, edge_idx, resolution, Np, snap_eps
+    )
+    return vx, vy, vz, valid_v, vid, occ3, num_verts, n_vblocks
+
+
+def _mt_positions(sdf_flat, dxp, dyp, dzp, edge_idx, resolution, Np, snap_eps):
+    """(max_verts,) compacted flat edge ids (class * n3p + anchor) ->
+    deformed, sdf-interpolated vertex positions. Shared position tail of
+    ``_mt_vertex_side`` (z-order ids) and ``_mt_vertex_side_wire``
+    (block-major ids) — the id ORDER differs, the per-edge math does not."""
+    n3p = Np * Np * Np
     valid_v = edge_idx < 7 * n3p
     safe = jnp.where(valid_v, edge_idx, 0)
     dcls = safe // n3p
@@ -244,7 +255,108 @@ def _mt_vertex_side(
     vx = jnp.where(valid_v, pos(lin, 0) + t * (pos(lin2, 0) - pos(lin, 0)), 0.0)
     vy = jnp.where(valid_v, pos(lin, 1) + t * (pos(lin2, 1) - pos(lin, 1)), 0.0)
     vz = jnp.where(valid_v, pos(lin, 2) + t * (pos(lin2, 2) - pos(lin, 2)), 0.0)
-    return vx, vy, vz, valid_v, vid, occ3, num_verts, n_vblocks
+    return vx, vy, vz, valid_v
+
+
+def _mt_vertex_side_wire(
+    sdf: jnp.ndarray,
+    deform_x: Optional[jnp.ndarray],
+    deform_y: Optional[jnp.ndarray],
+    deform_z: Optional[jnp.ndarray],
+    resolution: int,
+    max_verts: int,
+    vert_block_capacity: int,
+    snap_eps: float = 0.0,
+):
+    """Wire-format variant of ``_mt_vertex_side``: BLOCK-MAJOR vertex
+    numbering (class, 8^3 block, in-block x/y/z) — the order the native
+    decoder re-derives from the occupancy bits (``native/mt_wire.cpp``
+    order version 2) — so the full-grid z-order vid field (7 z-cumsums,
+    7 i32 re-tilings, and an i32 row gather) drops out, and the compaction
+    scatter runs through ``marching_cubes.scatter_compact_rows``'s hybrid
+    (one-hot contraction + (A, K) scatter: at the SF3D r160 noise capacity
+    of ~107 K rows the direct scatter's 55 M update slots were ~60% of the
+    extraction program). Returns (vx, vy, vz, valid_v, occ3, num_verts,
+    n_vblocks)."""
+    from sculptmate_tpu.geometry.marching_cubes import (
+        scatter_compact_rows,
+        to_blocked_rows as to_blocked,
+    )
+
+    N = lattice_size(resolution)
+    n3 = N * N * N
+    assert sdf.shape == (n3,)
+    Np = -(-N // BS) * BS
+    n3p = Np * Np * Np
+    nb1 = Np // BS
+    NB = nb1**3
+
+    local_off = jnp.asarray(_block_local_offsets(Np))  # (512,)
+    block_base = jnp.asarray(_block_bases(Np))  # (NB,)
+
+    def pad3(a, fill=0.0):
+        a = a.reshape(N, N, N)
+        p = Np - N
+        return jnp.pad(a, ((0, p),) * 3, constant_values=fill)
+
+    sdf3 = pad3(sdf, -1.0)
+    occ3 = sdf3 > 0
+    sdf_flat = sdf3.ravel()
+
+    if deform_x is not None:
+        scale = 1.0 / resolution
+        dxp = scale * jnp.tanh(pad3(deform_x)).ravel()
+        dyp = scale * jnp.tanh(pad3(deform_y)).ravel()
+        dzp = scale * jnp.tanh(pad3(deform_z)).ravel()
+    else:
+        dxp = dyp = dzp = None
+
+    ar = jnp.arange(Np)
+
+    def cut_mask(d: int) -> jnp.ndarray:
+        dx, dy, dz = (int(v) for v in EDGE_DIRS[d])
+        m = occ3 != jnp.roll(occ3, (-dx, -dy, -dz), (0, 1, 2))
+        dom = (
+            (ar[:, None, None] < N - dx)
+            & (ar[None, :, None] < N - dy)
+            & (ar[None, None, :] < N - dz)
+        )
+        return m & dom
+
+    masks = [cut_mask(d) for d in range(7)]
+
+    def block_cnt(m):
+        return (
+            m.reshape(nb1, BS, nb1, BS, nb1, BS)
+            .sum(axis=(1, 3, 5), dtype=jnp.int32)
+            .ravel()
+        )
+
+    vcnt = jnp.concatenate([block_cnt(m) for m in masks])  # (7 NB,)
+    num_verts = jnp.sum(vcnt)
+    vblock_mask = vcnt > 0
+    n_vblocks = jnp.sum(vblock_mask.astype(jnp.int32))
+    vbase = jnp.cumsum(vcnt) - vcnt  # exclusive block-major vid base
+
+    (vblk_ids,) = jnp.nonzero(
+        vblock_mask, size=vert_block_capacity, fill_value=7 * NB
+    )
+    vblk_valid = vblk_ids < 7 * NB
+    vb_safe = jnp.where(vblk_valid, vblk_ids, 0)
+    vb_cls = vb_safe // NB
+    vb_base = block_base[vb_safe % NB]
+
+    mask_b = jnp.concatenate([to_blocked(m) for m in masks], axis=0)
+    gmask = mask_b[vb_safe] & vblk_valid[:, None]  # (A, 512)
+    edge_idx = scatter_compact_rows(
+        gmask, vbase[vb_safe], vb_cls * n3p + vb_base, local_off,
+        max_verts, 7 * n3p,
+    )
+
+    vx, vy, vz, valid_v = _mt_positions(
+        sdf_flat, dxp, dyp, dzp, edge_idx, resolution, Np, snap_eps
+    )
+    return vx, vy, vz, valid_v, occ3, num_verts, n_vblocks
 
 
 def mt_wire_device(
@@ -271,13 +383,18 @@ def mt_wire_device(
     ~4.3 MB at res 160 vs ~22 MB for the packed f32 mesh; faces and vertex
     ids are rebuilt by ``native/mt_wire.cpp``, and the device-side face
     machinery drops off the hot path entirely.
+
+    Vertex order (the order of the position entries) is BLOCK-MAJOR —
+    (edge class, 8^3 block, in-block x/y/z) — see ``_mt_vertex_side_wire``;
+    the decoders re-derive the same order from the occupancy bits (order
+    version 2, checked via ``mt_wire_order_version``).
     """
     from sculptmate_tpu.geometry.marching_cubes import pack_bits_u8
 
     if vert_block_capacity <= 0:
         vert_block_capacity = default_block_capacity(resolution, "verts")
 
-    vx, vy, vz, valid_v, _vid, occ3, num_verts, n_vblocks = _mt_vertex_side(
+    vx, vy, vz, valid_v, occ3, num_verts, n_vblocks = _mt_vertex_side_wire(
         sdf, deform_x, deform_y, deform_z, resolution, max_verts,
         vert_block_capacity, snap_eps=snap_eps,
     )

@@ -94,10 +94,20 @@ def _tables():
     return _TABLES
 
 
+ORDER_VERSION = 2  # block-major vertex numbering (see mc_wire_device)
+
+
 def _lib():
     lib = load_native("mc_wire")
     if lib is None:
         return None
+    # a stale binary with a different vertex-numbering convention would
+    # silently scramble every vertex's t/color — refuse it instead
+    try:
+        if lib.mc_wire_order_version() != ORDER_VERSION:
+            return None
+    except AttributeError:
+        return None  # pre-versioning binary: z-order numbering
     if not getattr(lib, "_mc_wire_configured", False):
         u8 = ctypes.POINTER(ctypes.c_uint8)
         i32 = ctypes.POINTER(ctypes.c_int32)
@@ -233,17 +243,41 @@ def _decode_numpy(occ, t_lo, t_hi, cr, cg, cb, shape, nv, counts, vxlim=-1):
     mz = np.zeros((RX, RY, RZ), bool)
     mz[:, :, : RZ - 1] = inside[:, :, :-1] != inside[:, :, 1:]
     masks.append(mz)
-    mask_flat = np.concatenate([m.ravel() for m in masks])
-    vid = np.cumsum(mask_flat) - 1
-    assert int(mask_flat.sum()) == nv, (int(mask_flat.sum()), nv)
-
+    # block-major numbering (ORDER_VERSION 2, same as the C++ decoder and
+    # the device packer): (axis, 8^3 block bi/bj/bk, in-block ox/oy/oz)
+    assert RX % 8 == 0 and RY % 8 == 0 and RZ % 8 == 0, shape
     n3 = RX * RY * RZ
-    (edge_lin,) = np.nonzero(mask_flat)
-    axis = edge_lin // n3
-    lin = edge_lin % n3
-    i = lin // (RY * RZ)
-    j = (lin // RZ) % RY
-    k = lin % RZ
+    nbx, nby, nbz = RX // 8, RY // 8, RZ // 8
+    NB = nbx * nby * nbz
+
+    def blocked(m):
+        return (
+            m.reshape(nbx, 8, nby, 8, nbz, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(NB, 512)
+        )
+
+    flat = np.concatenate([blocked(m) for m in masks]).ravel()
+    assert int(flat.sum()) == nv, (int(flat.sum()), nv)
+    rank = np.cumsum(flat) - 1  # vid at cut slots, block-major order
+    vid3 = [
+        rank[a * NB * 512 : (a + 1) * NB * 512]
+        .reshape(nbx, nby, nbz, 8, 8, 8)
+        .transpose(0, 3, 1, 4, 2, 5)
+        .reshape(RX, RY, RZ)
+        for a in range(3)
+    ]
+    vid = np.concatenate([v.ravel() for v in vid3])
+
+    (slot,) = np.nonzero(flat)  # ascending = block-major vertex order
+    arow, acol = slot // 512, slot % 512
+    axis = arow // NB
+    blk = arow % NB
+    bi, bj, bk = blk // (nby * nbz), (blk // nbz) % nby, blk % nbz
+    ox, oy, oz = acol // 64, (acol // 8) % 8, acol % 8
+    i = bi * 8 + ox
+    j = bj * 8 + oy
+    k = bk * 8 + oz
     t = (
         t_lo[:nv].astype(np.float32) + t_hi[:nv].astype(np.float32) * 256.0
     ) / 65535.0

@@ -74,10 +74,20 @@ def _tables():
     return _TABLES
 
 
+ORDER_VERSION = 2  # block-major vertex numbering (see mt_wire_device)
+
+
 def _lib():
     lib = load_native("mt_wire")
     if lib is None:
         return None
+    # a stale binary with a different vertex-numbering convention would
+    # silently scramble every vertex's position — refuse it instead
+    try:
+        if lib.mt_wire_order_version() != ORDER_VERSION:
+            return None
+    except AttributeError:
+        return None  # pre-versioning binary: z-order numbering
     if not getattr(lib, "_mt_wire_configured", False):
         u8 = ctypes.POINTER(ctypes.c_uint8)
         i32 = ctypes.POINTER(ctypes.c_int32)

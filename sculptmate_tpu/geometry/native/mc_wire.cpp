@@ -14,11 +14,17 @@
 //     proportional to the *surface*, not the volume
 //
 // Conventions mirror marching_cubes.py exactly: x-major flat layout
-// (lin = (i*RY + j)*RZ + k), vid order = concat(x-cuts, y-cuts, z-cuts) each
-// in flat order, cells valid iff i<RX-1 & j<RY-1 & k<RZ-1, vertex positions
-// in lattice index coordinates, faces wound away from the inside.
-// Tables (256-case tri table, edge axis/offset) are passed in from Python
-// (geometry/mc_tables.py) so this file holds no generated data.
+// (lin = (i*RY + j)*RZ + k), vid order = BLOCK-MAJOR (order version 2):
+// concat over axes (x-cuts, y-cuts, z-cuts), within an axis by 8^3 block id
+// (bi, bj, bk), within a block by (ox, oy, oz). This matches the device's
+// ``_vertex_side_wire`` — which numbers ids from per-block prefixes so it
+// never materializes a full-grid id field — and costs this decoder one
+// extra per-8-bit-segment prefix array. Cells valid iff i<RX-1 & j<RY-1 &
+// k<RZ-1, vertex positions in lattice index coordinates, faces wound away
+// from the inside. Tables (256-case tri table, edge axis/offset) are passed
+// in from Python (geometry/mc_tables.py) so this file holds no generated
+// data. ``mc_wire_order_version`` lets the Python side reject a stale
+// binary whose numbering would silently scramble every vertex.
 //
 // Build: scripts/build_native.py (g++ -O3 -shared -fPIC).
 
@@ -32,12 +38,21 @@ struct Grid {
     int RX, RY, RZ;
     int vxlim;                    // x-cut edges / cells valid at i < vxlim
     int nw;                       // 64-bit words per z-row (ceil(RZ/64))
+    int ns;                       // 8-bit segments per z-row (RZ/8)
     std::vector<uint64_t> occ;    // (RX*RY*nw) occupancy
     std::vector<uint64_t> cut[3]; // per-axis cut-edge words
-    std::vector<uint32_t> pre[3]; // exclusive vid prefix per word, per axis
+    // exclusive vid prefix per 8-z byte segment, scanned in BLOCK-MAJOR
+    // order (axis, block bi/bj/bk, in-block ox/oy; one segment per bk)
+    std::vector<uint32_t> pre8[3];
 
     inline size_t w(int i, int j, int z) const {
         return ((size_t)i * RY + j) * nw + z;
+    }
+    inline size_t seg(int i, int j, int s) const {
+        return ((size_t)i * RY + j) * ns + s;
+    }
+    inline uint8_t cut_byte(int a, int i, int j, int s) const {
+        return (uint8_t)(cut[a][w(i, j, s >> 3)] >> ((s & 7) * 8));
     }
 };
 
@@ -89,26 +104,40 @@ static void build_cuts(Grid &g) {
 }
 
 static uint32_t build_prefix(Grid &g) {
+    // block-major scan: (axis, block bi/bj/bk, in-block ox/oy); each 8^3
+    // block spans exactly one 8-bit z segment per (ox, oy) row
+    const int nbx = g.RX / 8, nby = g.RY / 8, nbz = g.RZ / 8;
     uint32_t run = 0;
     for (int a = 0; a < 3; ++a) {
-        g.pre[a].resize(g.cut[a].size());
-        for (size_t w = 0; w < g.cut[a].size(); ++w) {
-            g.pre[a][w] = run;
-            run += (uint32_t)__builtin_popcountll(g.cut[a][w]);
-        }
+        g.pre8[a].resize((size_t)g.RX * g.RY * g.ns);
+        for (int bi = 0; bi < nbx; ++bi)
+            for (int bj = 0; bj < nby; ++bj)
+                for (int bk = 0; bk < nbz; ++bk)
+                    for (int ox = 0; ox < 8; ++ox)
+                        for (int oy = 0; oy < 8; ++oy) {
+                            const int i = bi * 8 + ox, j = bj * 8 + oy;
+                            g.pre8[a][g.seg(i, j, bk)] = run;
+                            run += (uint32_t)__builtin_popcount(
+                                g.cut_byte(a, i, j, bk));
+                        }
     }
     return run; // total vertex count
 }
 
 static inline uint32_t vid_of(const Grid &g, int axis, int i, int j, int k) {
-    size_t w = g.w(i, j, k >> 6);
-    uint64_t below = g.cut[axis][w] & ((1ull << (k & 63)) - 1);
-    return g.pre[axis][w] + (uint32_t)__builtin_popcountll(below);
+    const int s = k >> 3;
+    uint8_t below = g.cut_byte(axis, i, j, s) & (uint8_t)((1u << (k & 7)) - 1);
+    return g.pre8[axis][g.seg(i, j, s)] + (uint32_t)__builtin_popcount(below);
 }
 
 } // namespace
 
 extern "C" {
+
+// Vertex-numbering convention of this binary (must match the device wire
+// packer): 1 = flat z-order, 2 = block-major. Python refuses to use a
+// binary whose order version differs from its own.
+int mc_wire_order_version(void) { return 2; }
 
 // Count reconstructed faces. ``valid_x_limit``: cells (and x-cut edges)
 // only at x < valid_x_limit — pass RX-1 for a full grid, or the shard's
@@ -120,7 +149,7 @@ long long mc_wire_count_faces(const uint8_t *occ_bytes, int RX, int RY,
     if (RZ % 8 != 0 || RX < 2 || RY < 2 || RZ < 2) return -1;
     if (valid_x_limit < 0 || valid_x_limit > RX - 1) return -1;
     Grid g;
-    g.RX = RX; g.RY = RY; g.RZ = RZ; g.nw = (RZ + 63) / 64;
+    g.RX = RX; g.RY = RY; g.RZ = RZ; g.nw = (RZ + 63) / 64; g.ns = RZ / 8;
     g.vxlim = valid_x_limit;
     load_occ(g, occ_bytes);
 
@@ -172,40 +201,47 @@ long long mc_wire_build(
     const int32_t *edge_axis /*(12,)*/, const int32_t *edge_offset /*(12*3)*/,
     int max_tri, long long max_out_faces,
     float *out_verts, float *out_colors, int32_t *out_faces) {
-    if (RZ % 8 != 0 || RX < 2 || RY < 2 || RZ < 2) return -1;
+    // block-major numbering needs every dim 8-aligned (the device packer
+    // already guarantees this: mc_wire_device asserts dims % 8 == 0)
+    if (RX % 8 != 0 || RY % 8 != 0 || RZ % 8 != 0) return -1;
+    if (RX < 2 || RY < 2 || RZ < 2) return -1;
     if (valid_x_limit < 0 || valid_x_limit > RX - 1) return -1;
     Grid g;
-    g.RX = RX; g.RY = RY; g.RZ = RZ; g.nw = (RZ + 63) / 64;
+    g.RX = RX; g.RY = RY; g.RZ = RZ; g.nw = (RZ + 63) / 64; g.ns = RZ / 8;
     g.vxlim = valid_x_limit;
     load_occ(g, occ_bytes);
     build_cuts(g);
     if ((long long)build_prefix(g) != nv) return -2;
 
-    // -- vertices: iterate cut bits in vid order ------------------------
+    // -- vertices: iterate cut bits in BLOCK-MAJOR vid order --------------
     long long v = 0;
+    const int nbx = RX / 8, nby = RY / 8, nbz = RZ / 8;
     for (int a = 0; a < 3; ++a) {
         const float dx = a == 0 ? 1.f : 0.f;
         const float dy = a == 1 ? 1.f : 0.f;
         const float dz = a == 2 ? 1.f : 0.f;
-        for (int i = 0; i < RX; ++i)
-            for (int j = 0; j < RY; ++j)
-                for (int z = 0; z < g.nw; ++z) {
-                    uint64_t bits = g.cut[a][g.w(i, j, z)];
-                    while (bits) {
-                        int b = __builtin_ctzll(bits);
-                        bits &= bits - 1;
-                        int k = z * 64 + b;
-                        float t =
-                            (float)(t_lo[v] | (t_hi[v] << 8)) / 65535.0f;
-                        out_verts[3 * v + 0] = (float)i + t * dx;
-                        out_verts[3 * v + 1] = (float)j + t * dy;
-                        out_verts[3 * v + 2] = (float)k + t * dz;
-                        out_colors[3 * v + 0] = (float)cr[v] / 255.0f;
-                        out_colors[3 * v + 1] = (float)cg[v] / 255.0f;
-                        out_colors[3 * v + 2] = (float)cb[v] / 255.0f;
-                        ++v;
-                    }
-                }
+        for (int bi = 0; bi < nbx; ++bi)
+            for (int bj = 0; bj < nby; ++bj)
+                for (int bk = 0; bk < nbz; ++bk)
+                    for (int ox = 0; ox < 8; ++ox)
+                        for (int oy = 0; oy < 8; ++oy) {
+                            const int i = bi * 8 + ox, j = bj * 8 + oy;
+                            uint8_t bits = g.cut_byte(a, i, j, bk);
+                            while (bits) {
+                                int b = __builtin_ctz(bits);
+                                bits &= (uint8_t)(bits - 1);
+                                int k = bk * 8 + b;
+                                float t = (float)(t_lo[v] | (t_hi[v] << 8)) /
+                                          65535.0f;
+                                out_verts[3 * v + 0] = (float)i + t * dx;
+                                out_verts[3 * v + 1] = (float)j + t * dy;
+                                out_verts[3 * v + 2] = (float)k + t * dz;
+                                out_colors[3 * v + 0] = (float)cr[v] / 255.0f;
+                                out_colors[3 * v + 1] = (float)cg[v] / 255.0f;
+                                out_colors[3 * v + 2] = (float)cb[v] / 255.0f;
+                                ++v;
+                            }
+                        }
     }
     if (v != nv) return -2;
 

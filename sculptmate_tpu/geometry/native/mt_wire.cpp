@@ -9,8 +9,10 @@
 // logic on the occupancy field, rebuilt here bit-parallel:
 //
 //   - 7 edge-class cut words (one XOR + shift per 64 lattice edges)
-//   - vertex ids: popcount prefix sums per word, class-major order matching
-//     the device's vid cumsum over the padded grid
+//   - vertex ids: popcount prefix sums per 8-bit segment in BLOCK-MAJOR
+//     order (class, 8^3 block, in-block x/y/z) — order version 2, matching
+//     the device's per-block-prefix numbering (_mt_vertex_side_wire);
+//     ``mt_wire_order_version`` lets Python reject a stale binary
 //   - cubes: a 64-cell activity word (any corner pair differs) from 8 corner
 //     words; only set bits are visited; each active cube evaluates its 6
 //     tets' 4-bit cases
@@ -36,12 +38,22 @@ struct TGrid {
     int N;   // real lattice points per axis
     int Np;  // padded (multiple of 8)
     int nw;  // 64-bit words per z-row of the padded grid
+    int ns;  // 8-bit segments per z-row (Np/8)
     std::vector<uint64_t> occ;
     std::vector<uint64_t> cut[7];
-    std::vector<uint32_t> pre[7];
+    // exclusive vid prefix per 8-z byte segment, scanned in BLOCK-MAJOR
+    // order (class, block bi/bj/bk, in-block ox/oy; one segment per bk) —
+    // matches the device's _mt_vertex_side_wire numbering (order version 2)
+    std::vector<uint32_t> pre8[7];
 
     inline size_t w(int i, int j, int z) const {
         return ((size_t)i * Np + j) * nw + z;
+    }
+    inline size_t seg(int i, int j, int s) const {
+        return ((size_t)i * Np + j) * ns + s;
+    }
+    inline uint8_t cut_byte(int d, int i, int j, int s) const {
+        return (uint8_t)(cut[d][w(i, j, s >> 3)] >> ((s & 7) * 8));
     }
 };
 
@@ -88,26 +100,40 @@ static void build_cuts(TGrid &g) {
 }
 
 static uint32_t build_prefix(TGrid &g) {
+    // block-major scan: (class, block bi/bj/bk, in-block ox/oy); each 8^3
+    // block spans exactly one 8-bit z segment per (ox, oy) row
+    const int nb = g.Np / 8;
     uint32_t run = 0;
     for (int d = 0; d < 7; ++d) {
-        g.pre[d].resize(g.cut[d].size());
-        for (size_t w = 0; w < g.cut[d].size(); ++w) {
-            g.pre[d][w] = run;
-            run += (uint32_t)__builtin_popcountll(g.cut[d][w]);
-        }
+        g.pre8[d].resize((size_t)g.Np * g.Np * g.ns);
+        for (int bi = 0; bi < nb; ++bi)
+            for (int bj = 0; bj < nb; ++bj)
+                for (int bk = 0; bk < nb; ++bk)
+                    for (int ox = 0; ox < 8; ++ox)
+                        for (int oy = 0; oy < 8; ++oy) {
+                            const int i = bi * 8 + ox, j = bj * 8 + oy;
+                            g.pre8[d][g.seg(i, j, bk)] = run;
+                            run += (uint32_t)__builtin_popcount(
+                                g.cut_byte(d, i, j, bk));
+                        }
     }
     return run;
 }
 
 static inline uint32_t vid_of(const TGrid &g, int d, int i, int j, int k) {
-    size_t w = g.w(i, j, k >> 6);
-    uint64_t below = g.cut[d][w] & ((1ull << (k & 63)) - 1);
-    return g.pre[d][w] + (uint32_t)__builtin_popcountll(below);
+    const int s = k >> 3;
+    uint8_t below = g.cut_byte(d, i, j, s) & (uint8_t)((1u << (k & 7)) - 1);
+    return g.pre8[d][g.seg(i, j, s)] + (uint32_t)__builtin_popcount(below);
 }
 
 } // namespace
 
 extern "C" {
+
+// Vertex-numbering convention of this binary (must match the device wire
+// packer): 1 = flat z-order, 2 = block-major. Python refuses a binary
+// whose order version differs from its own.
+int mt_wire_order_version(void) { return 2; }
 
 // Count reconstructed faces (per-tet cases over active cubes).
 // tri_count: (6*16,) int32. Returns -1 on bad arguments.
@@ -115,7 +141,7 @@ long long mt_wire_count_faces(const uint8_t *occ_bytes, int N, int Np,
                               const int32_t *tri_count) {
     if (Np % 8 != 0 || Np < N || N < 2) return -1;
     TGrid g;
-    g.N = N; g.Np = Np; g.nw = (Np + 63) / 64;
+    g.N = N; g.Np = Np; g.nw = (Np + 63) / 64; g.ns = Np / 8;
     load_occ(g, occ_bytes);
 
     long long nf = 0;
@@ -182,7 +208,7 @@ static long long build_impl(
     int weld, long long *out_nv) {
     if (Np % 8 != 0 || Np < N || N < 2) return -1;
     TGrid g;
-    g.N = N; g.Np = Np; g.nw = (Np + 63) / 64;
+    g.N = N; g.Np = Np; g.nw = (Np + 63) / 64; g.ns = Np / 8;
     load_occ(g, occ_bytes);
     build_cuts(g);
     if ((long long)build_prefix(g) != nv) return -2;
@@ -191,24 +217,30 @@ static long long build_impl(
     const float lo = -1.0f / res;
     const float range = 1.0f + 2.0f / res;
 
-    // -- vertices in vid order (class-major, padded-flat) -----------------
+    // -- vertices in BLOCK-MAJOR vid order --------------------------------
+    // the position payload carries everything; the loop only needs to
+    // count set bits in the same order the device numbered them
     long long v = 0;
+    const int nb = g.Np / 8;
     for (int d = 0; d < 7; ++d)
-        for (int i = 0; i < g.Np; ++i)
-            for (int j = 0; j < g.Np; ++j)
-                for (int z = 0; z < g.nw; ++z) {
-                    uint64_t bits = g.cut[d][g.w(i, j, z)];
-                    while (bits) {
-                        bits &= bits - 1;
-                        out_verts[3 * v + 0] =
-                            lo + range * (float)(px_lo[v] | (px_hi[v] << 8)) / 65535.0f;
-                        out_verts[3 * v + 1] =
-                            lo + range * (float)(py_lo[v] | (py_hi[v] << 8)) / 65535.0f;
-                        out_verts[3 * v + 2] =
-                            lo + range * (float)(pz_lo[v] | (pz_hi[v] << 8)) / 65535.0f;
-                        ++v;
-                    }
-                }
+        for (int bi = 0; bi < nb; ++bi)
+            for (int bj = 0; bj < nb; ++bj)
+                for (int bk = 0; bk < nb; ++bk)
+                    for (int ox = 0; ox < 8; ++ox)
+                        for (int oy = 0; oy < 8; ++oy) {
+                            const int i = bi * 8 + ox, j = bj * 8 + oy;
+                            int c = __builtin_popcount(
+                                g.cut_byte(d, i, j, bk));
+                            for (int q = 0; q < c; ++q) {
+                                out_verts[3 * v + 0] =
+                                    lo + range * (float)(px_lo[v] | (px_hi[v] << 8)) / 65535.0f;
+                                out_verts[3 * v + 1] =
+                                    lo + range * (float)(py_lo[v] | (py_hi[v] << 8)) / 65535.0f;
+                                out_verts[3 * v + 2] =
+                                    lo + range * (float)(pz_lo[v] | (pz_hi[v] << 8)) / 65535.0f;
+                                ++v;
+                            }
+                        }
     if (v != nv) return -2;
 
     // -- weld map: vid -> first vid with the same quantized position -------

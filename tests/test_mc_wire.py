@@ -44,6 +44,59 @@ def _color_fn(vx, vy, vz, valid):
     return vx * scale, vy * scale, vz * scale
 
 
+def _blockmajor_perm(level):
+    """Exact permutation between the wire's BLOCK-MAJOR vertex numbering and
+    the packed path's flat z-order numbering, derived from the level field
+    with the shared conventions (valid_x = x < RX-1).
+
+    Returns ``perm`` with wire vertex k == z-order vertex ``perm[k]``."""
+    RX, RY, RZ = level.shape
+    inside = level > 0
+    masks = []
+    mx = np.zeros(level.shape, bool)
+    mx[: RX - 1] = inside[:-1] != inside[1:]
+    masks.append(mx)
+    my = np.zeros(level.shape, bool)
+    my[:, : RY - 1] = inside[:, :-1] != inside[:, 1:]
+    masks.append(my)
+    mz = np.zeros(level.shape, bool)
+    mz[:, :, : RZ - 1] = inside[:, :, :-1] != inside[:, :, 1:]
+    masks.append(mz)
+
+    n3 = RX * RY * RZ
+    nbx, nby, nbz = RX // 8, RY // 8, RZ // 8
+
+    def blocked(m):
+        return (
+            m.reshape(nbx, 8, nby, 8, nbz, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(nbx * nby * nbz, 512)
+        )
+
+    mask_z = np.concatenate([m.ravel() for m in masks])
+    zvid = np.cumsum(mask_z) - 1  # z-order vid at each flat slot
+    idx3 = np.arange(n3).reshape(level.shape)
+    bidx = np.concatenate(
+        [blocked(idx3).ravel() + a * n3 for a in range(3)]
+    )  # block-major slot -> flat z slot
+    sel = np.concatenate([blocked(m).ravel() for m in masks])
+    return zvid[bidx[sel]]
+
+
+def _assert_wire_matches_zorder(level, verts, faces, ref_v, ref_f, tol=2e-4):
+    """Wire mesh == packed (z-order) mesh under the analytic permutation:
+    positions within u16-t quantization, faces identical after remap."""
+    assert verts.shape == ref_v.shape
+    assert faces.shape == ref_f.shape
+    perm = _blockmajor_perm(level)
+    assert len(perm) == len(verts)
+    assert np.max(np.abs(verts - ref_v[perm])) < tol
+    inv = np.empty(len(perm), np.int64)
+    inv[perm] = np.arange(len(perm))
+    assert np.array_equal(np.asarray(faces, np.int64), inv[np.asarray(ref_f, np.int64)])
+    return perm
+
+
 def _roundtrip(level, mv=20000, mf=40000):
     wire = np.asarray(
         jax.jit(mc_wire_device, static_argnums=(1, 2, 4))(
@@ -72,9 +125,7 @@ def test_wire_matches_device_mc(shape):
     verts, faces, colors, counts = _roundtrip(level)
     ref_v, ref_f = _reference_mesh(level, 20000, 40000)
 
-    assert verts.shape == ref_v.shape
-    assert np.array_equal(faces, ref_f)  # same vid convention + cell order
-    assert np.max(np.abs(verts - ref_v)) < 2e-4  # t quantized to uint16
+    _assert_wire_matches_zorder(level, verts, faces, ref_v, ref_f)
     # colors come back as uint8 of the position-based color_fn
     expect = np.clip(np.round(verts / 64.0 * 255), 0, 255) / 255.0
     assert np.max(np.abs(colors - expect)) < 2e-3
@@ -84,9 +135,23 @@ def test_wire_noise_field(rng):
     level = rng.standard_normal((32, 32, 32)).astype(np.float32)
     verts, faces, colors, counts = _roundtrip(level, mv=80000, mf=160000)
     ref_v, ref_f = _reference_mesh(level, 80000, 160000)
-    assert np.array_equal(faces, ref_f)
-    assert np.max(np.abs(verts - ref_v)) < 2e-4
+    _assert_wire_matches_zorder(level, verts, faces, ref_v, ref_f)
     assert len(verts) > 1000
+
+
+def test_wire_sparse_field_mxu_branch():
+    """Isolated inside-voxels: <= 6 cut edges per 8^3 block, far below the
+    K=64 per-row width -> exercises the one-hot (MXU) compaction branch of
+    ``_vertex_side_wire``; the 50%-cut noise of ``test_wire_noise_field``
+    exercises the direct-scatter fallback."""
+    level = -np.ones((32, 32, 32), np.float32)
+    r = np.random.default_rng(3)
+    pts = r.integers(2, 30, (40, 3))
+    level[pts[:, 0], pts[:, 1], pts[:, 2]] = 1.0
+    verts, faces, colors, counts = _roundtrip(level, mv=4096, mf=8192)
+    ref_v, ref_f = _reference_mesh(level, 4096, 8192)
+    assert len(verts) > 0
+    _assert_wire_matches_zorder(level, verts, faces, ref_v, ref_f)
 
 
 def test_wire_empty():
@@ -105,8 +170,7 @@ def test_wire_without_colors():
     )
     v1, f1, _, _ = mc_wire.decode_wire(wire, level.shape, mv, has_colors=False)
     ref_v, ref_f = _reference_mesh(level, mv, 40000)
-    assert np.array_equal(f1, ref_f)
-    assert np.max(np.abs(v1 - ref_v)) < 2e-4
+    _assert_wire_matches_zorder(level, v1, f1, ref_v, ref_f)
     # colorless wire is 3 * mv bytes smaller
     o = mc_wire.wire_layout(level.shape, mv, mc_wire.N_WIRE_COUNTS, False)
     assert wire.size == o[-1]

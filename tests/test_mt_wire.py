@@ -35,6 +35,57 @@ def _canon(faces):
     return rot[order]
 
 
+def _blockmajor_perm_mt(sdf, res):
+    """Exact permutation between the wire's BLOCK-MAJOR vertex numbering and
+    the packed path's class-major z-order numbering, derived from the sdf
+    with the shared conventions (padded lattice, 7 edge classes).
+
+    Returns ``perm`` with wire vertex k == z-order vertex ``perm[k]``."""
+    from sculptmate_tpu.geometry.mt_tables import EDGE_DIRS
+
+    N = lattice_size(res)
+    Np = -(-N // 8) * 8
+    occ = np.zeros((Np, Np, Np), bool)
+    occ[:N, :N, :N] = sdf.reshape(N, N, N) > 0
+    ar = np.arange(Np)
+    masks = []
+    for d in range(7):
+        dx, dy, dz = (int(v) for v in EDGE_DIRS[d])
+        m = occ != np.roll(occ, (-dx, -dy, -dz), (0, 1, 2))
+        dom = (
+            (ar[:, None, None] < N - dx)
+            & (ar[None, :, None] < N - dy)
+            & (ar[None, None, :] < N - dz)
+        )
+        masks.append(m & dom)
+
+    n3p = Np**3
+    nb = Np // 8
+
+    def blocked(m):
+        return (
+            m.reshape(nb, 8, nb, 8, nb, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(-1, 512)
+        )
+
+    mask_z = np.concatenate([m.ravel() for m in masks])
+    zvid = np.cumsum(mask_z) - 1
+    idx3 = np.arange(n3p).reshape(Np, Np, Np)
+    bidx = np.concatenate([blocked(idx3).ravel() + d * n3p for d in range(7)])
+    sel = np.concatenate([blocked(m).ravel() for m in masks])
+    return zvid[bidx[sel]]
+
+
+def _assert_wire_matches_device(sdf, res, wv, wf, dv, df, tol=2e-4):
+    perm = _blockmajor_perm_mt(sdf, res)
+    assert len(perm) == len(wv) == len(dv)
+    assert np.max(np.abs(wv - dv[perm])) < tol
+    inv = np.empty(len(perm), np.int64)
+    inv[perm] = np.arange(len(perm))
+    assert np.array_equal(_canon(wf), _canon(inv[np.asarray(df, np.int64)]))
+
+
 def _device_mesh(sdf, deform, res, mv=60000, mf=120000):
     dx = dy = dz = None
     if deform is not None:
@@ -77,10 +128,8 @@ def test_mt_wire_matches_device(rng, with_deform):
     dv, df = _device_mesh(sdf, deform, res)
     wv, wf, counts = _wire_mesh(sdf, deform, res)
 
-    assert len(wv) == len(dv)
-    # same vid order on both sides; uint16 quantization over ~1.008 range
-    assert np.max(np.abs(wv - dv)) < 2e-4
-    assert np.array_equal(_canon(wf), _canon(df))
+    # uint16 quantization over ~1.008 range; wire ids are block-major
+    _assert_wire_matches_device(sdf, res, wv, wf, dv, df)
 
 
 def test_mt_wire_noise(rng):
@@ -90,8 +139,7 @@ def test_mt_wire_noise(rng):
     dv, df = _device_mesh(sdf, None, res, mv=120000, mf=240000)
     wv, wf, _ = _wire_mesh(sdf, None, res, mv=120000)
     assert len(wv) == len(dv) > 100
-    assert np.max(np.abs(wv - dv)) < 2e-4
-    assert np.array_equal(_canon(wf), _canon(df))
+    _assert_wire_matches_device(sdf, res, wv, wf, dv, df)
 
 
 def test_mt_wire_empty():

@@ -84,9 +84,19 @@ def test_asset_farm_wire_matches_packed(tiny_tsr, rng):
             ],
             axis=-1,
         )
-        # same vertex order (both enumerate cut edges in axis-major order)
-        assert np.max(np.abs(pv - verts)) < 2e-4 * scale * 16
-        np.testing.assert_array_equal(pf, faces)
+        # same geometry/topology under the wire's block-major vertex
+        # numbering (packed stays z-order): match vertices by position
+        # (verified unique bijection), then faces must be identical after
+        # the remap — both paths emit faces in z-cell order
+        d = np.linalg.norm(verts[:, None, :] - pv[None, :, :], axis=-1)
+        perm = d.argmin(axis=1)
+        assert d[np.arange(nv), perm].max() < 2e-4 * scale * 16
+        assert len(np.unique(perm)) == nv
+        inv = np.empty(nv, np.int64)
+        inv[perm] = np.arange(nv)
+        np.testing.assert_array_equal(
+            np.asarray(faces, np.int64), inv[np.asarray(pf, np.int64)]
+        )
 
 
 def test_asset_farm_full_pipeline_rgba(tiny_tsr, rng):
