@@ -773,7 +773,11 @@ class SF3D:
         bake_pair2) static capacities.
 
         Output wire (uint8): [albedo u8 3*res^2][bump u8 3*res^2]
-        [uv u16-le 6 per face][counters u32 x6][rm u16 x2]. Bump is dithered
+        [uv lo-bytes 6 per face][uv hi-bytes 6 per face][counters u32 x6]
+        [rm u16 x2] — uv ships as two FLAT byte planes (the host recombines
+        lo|hi<<8): an interleaved (F, 3, 2, 2) u8 stack would inherit a
+        T(4,128)-tiled HBM layout padding its (2, 2) minor dims 128x
+        (38.7 GB at a 25M-face retry capacity). Bump is dithered
         on device over covered texels (``float32_to_uint8`` semantics with a
         counter-based uniform noise).
         """
@@ -836,9 +840,10 @@ class SF3D:
         bump_d = jnp.clip(bump_img + noise * mask[None, :, :], 0.0, 1.0)
         bump_u8 = jnp.clip(bump_d * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
 
-        uv_lo = (uv_q & jnp.uint16(0xFF)).astype(jnp.uint8)
-        uv_hi = (uv_q >> jnp.uint16(8)).astype(jnp.uint8)
-        uv_bytes = jnp.stack([uv_lo, uv_hi], axis=-1).reshape(-1)  # le u16
+        uvq_flat = uv_q.reshape(-1)  # (6 Fb,) u16, one relayout copy
+        uv_lo = (uvq_flat & jnp.uint16(0xFF)).astype(jnp.uint8)
+        uv_hi = (uvq_flat >> jnp.uint16(8)).astype(jnp.uint8)
+        uv_bytes = jnp.concatenate([uv_lo, uv_hi])  # two flat byte planes
 
         counters = jnp.concatenate(
             [unwrap_counters, bake_counters]
@@ -1133,9 +1138,9 @@ class SF3D:
         bump_u8 = wire[n_img : 2 * n_img].reshape(3, res, res).transpose(1, 2, 0)
         uv_sec = wire[2 * n_img : 2 * n_img + 12 * fb_]
         uv16 = (
-            uv_sec.reshape(fb_, 3, 2, 2).astype(np.uint16)[..., 0]
-            | (uv_sec.reshape(fb_, 3, 2, 2).astype(np.uint16)[..., 1] << np.uint16(8))
-        )[:nf]
+            uv_sec[: 6 * fb_].astype(np.uint16)
+            | (uv_sec[6 * fb_ :].astype(np.uint16) << np.uint16(8))
+        ).reshape(fb_, 3, 2)[:nf]
         uv_flat = uv16.astype(np.float32) / 65535.0  # (F, 3, 2)
         rm_b = tail[24:28].astype(np.uint32)
         roughness = float((rm_b[0] | (rm_b[1] << np.uint32(8))) / 65535.0)
