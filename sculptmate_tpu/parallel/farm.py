@@ -115,14 +115,13 @@ class AssetFarm:
             params, codes, resolution, threshold, max_verts, block_capacity,
             want_colors,
         ):
-            weights = mlp_weights_from_params(params["decoder"]["layers"])
             # same compute dtype as TSR's own extraction paths (bf16 by default
             # - systems/tsr.py grid_spec(..., compute_dtype=extract_dtype))
             spec = tsr.grid_spec(resolution, compute_dtype=tsr.extract_dtype)
             radius = tsr.config.radius
             scale = 2 * radius / (resolution - 1.0)
 
-            def one(code):
+            def one(weights, code):
                 dens = query_density_grid(code, weights, spec)
                 color_fn = None
                 if want_colors:
@@ -142,7 +141,31 @@ class AssetFarm:
                     dens - threshold, max_verts, block_capacity, None, color_fn
                 )
 
-            return jax.vmap(one)(codes)
+            # NOT vmap: the wire compaction picks its scatter strategy with a
+            # data-dependent ``lax.cond`` (marching_cubes.scatter_compact_rows)
+            # and vmap lowers cond to a select that executes BOTH branches —
+            # measured ~2x on the extraction program. shard_map keeps each
+            # device on its local slice and ``lax.map`` (a scan) keeps the
+            # cond a real branch; assets on one device extract sequentially,
+            # which is exactly the chunked serving loop's intent.
+            def local(p, local_codes):
+                weights = mlp_weights_from_params(p["decoder"]["layers"])
+                return jax.lax.map(
+                    functools.partial(one, weights), local_codes
+                )
+
+            if codes.shape[0] % mesh.shape[dp_axis] == 0:
+                return jax.shard_map(
+                    local,
+                    mesh=mesh,
+                    in_specs=(P(), P(dp_axis)),
+                    out_specs=P(dp_axis),
+                    check_vma=False,
+                )(params, codes)
+            # non-dp-divisible batch: GSPMD-padded vmap fallback (pays the
+            # both-branches select in the compaction)
+            weights = mlp_weights_from_params(params["decoder"]["layers"])
+            return jax.vmap(functools.partial(one, weights))(codes)
 
         self._extract_wire = _extract_wire
         self._wire_caps = {}

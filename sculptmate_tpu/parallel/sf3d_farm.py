@@ -121,7 +121,7 @@ class SF3DFarm:
             out_shardings=NamedSharding(mesh, P(dp_axis)),
         )
         def _extract_wire(params, codes, threshold, max_verts, block_cap):
-            """dp-sharded vmapped MT wire extraction — same math as
+            """dp-sharded MT wire extraction — same math as
             ``SF3D._extract_wire_jit`` with explicit (replicated) params."""
             from sculptmate_tpu.geometry.marching_tets import (
                 lattice_size,
@@ -132,23 +132,46 @@ class SF3DFarm:
             N = lattice_size(res)
             slab = 7 if N % 7 == 0 else 1
             spec = sf3d.grid_spec(slab=slab, compute_dtype=sf3d.extract_dtype)
-            heads = {
-                n: mlp_weights_from_params(params["decoder"][f"head_{n}"])
-                for n in ("density", "vertex_offset")
-            }
             coords = lattice_coords_tets(res)
             snap = jnp.asarray(float(c.weld_eps), jnp.float32)
 
-            def one(code):
+            def one(heads, thr, code):
                 grids = query_grid_multihead(code, heads, coords, spec)
                 density = jnp.exp(grids["density"][0] - 1.0)
-                sdf = density - threshold
+                sdf = density - thr
                 dx, dy, dz = grids["vertex_offset"]
                 return mt_wire_device(
                     sdf, dx, dy, dz, res, max_verts, block_cap, snap_eps=snap
                 )
 
-            return jax.vmap(one)(codes)
+            def _heads(p):
+                return {
+                    n: mlp_weights_from_params(p["decoder"][f"head_{n}"])
+                    for n in ("density", "vertex_offset")
+                }
+
+            # NOT vmap: the wire compaction's data-dependent ``lax.cond``
+            # (marching_cubes.scatter_compact_rows) becomes an
+            # execute-both-branches select under vmap (~2x the extraction
+            # program); shard_map + ``lax.map`` keeps it a real branch
+            # (see parallel/farm.py:_extract_wire)
+            def local(p, thr, local_codes):
+                heads = _heads(p)
+                return jax.lax.map(
+                    functools.partial(one, heads, thr), local_codes
+                )
+
+            if codes.shape[0] % mesh.shape[dp_axis] == 0:
+                return jax.shard_map(
+                    local,
+                    mesh=mesh,
+                    in_specs=(P(), P(), P(dp_axis)),
+                    out_specs=P(dp_axis),
+                    check_vma=False,
+                )(params, threshold, codes)
+            return jax.vmap(
+                functools.partial(one, _heads(params), threshold)
+            )(codes)
 
         self._extract_wire = _extract_wire
 
