@@ -53,13 +53,15 @@ def _unsortable(s):
 
 
 def _depth_round(
-    face_uv, slice_of, depth, participate, pair_caps
+    uc, vc, slice_of, depth, participate, pair_caps
 ):
     """One visibility round: raster all participating faces into the 4x4
     slice grid (winner = max depth via scatter-min of ~sortable(depth)),
     then test each face at its own centroid texel with a per-slice depth
-    tolerance. Returns (visible (F,) bool, fine, coarse, n_multi)."""
-    F = face_uv.shape[0]
+    tolerance. ``uc``/``vc`` are per-corner lists of 3 flat (F,) arrays —
+    SoA, like every uv in this module: an (F, 3, 2) stack would inherit a
+    (8, 128)-tiled HBM layout padding its minor dims ~170x. Returns
+    (visible (F,) bool, fine, coarse, n_multi)."""
     cell = 1.0 / 4.0
     gx = (slice_of % 4).astype(jnp.float32)
     gy = (slice_of // 4).astype(jnp.float32)
@@ -68,8 +70,8 @@ def _depth_round(
     def warp(c, g):
         return (jnp.clip(c, 0.0, 1.0) * span + _CELL_INSET + g) * cell
 
-    u = [warp(face_uv[:, c, 0], gx) for c in range(3)]
-    v = [warp(face_uv[:, c, 1], gy) for c in range(3)]
+    u = [warp(uc[c], gx) for c in range(3)]
+    v = [warp(vc[c], gy) for c in range(3)]
 
     # degenerate-at-origin for non-participants: covers nothing
     u = [jnp.where(participate, c, 0.0) for c in u]
@@ -93,8 +95,8 @@ def _depth_round(
         eps_slice.append(0.02 * jnp.maximum(dmax - dmin, 1e-6))
     eps = jnp.stack(eps_slice)[jnp.clip(slice_of, 0, 5)]
 
-    cen_u = warp(jnp.mean(face_uv[..., 0], axis=1), gx)
-    cen_v = warp(jnp.mean(face_uv[..., 1], axis=1), gy)
+    cen_u = warp((uc[0] + uc[1] + uc[2]) / 3.0, gx)
+    cen_v = warp((vc[0] + vc[1] + vc[2]) / 3.0, gy)
     s = float(RASTER_RES - 1)
     cx = jnp.clip(jnp.round(cen_u * s).astype(jnp.int32), 0, RASTER_RES - 1)
     cy = jnp.clip(jnp.round(cen_v * s).astype(jnp.int32), 0, RASTER_RES - 1)
@@ -111,7 +113,15 @@ def _unwrap_core(
 ):
     """All per-face unwrap math on device. Inputs are padded/bucketed flat
     rows; n_verts/n_faces are the real (traced) counts. Returns
-    (uv_q (F, 3, 2) uint16, atlas_index (F,), counters)."""
+    (uv6 (6, F) uint16 — rows [u0, v0, u1, v1, u2, v2], one per corner
+    component — atlas_index (F,), counters).
+
+    Everything per-face lives in flat (F,) SoA arrays (per-corner lists):
+    an (F, 3) f32 array inherits a (8, 128)-tiled HBM layout — a 42x pad
+    (170x for (F, 3, 2)) that costs both HBM footprint (12.8 GB/array at a
+    degenerate 25M-face retry capacity — an OOM) and padded-lane bandwidth
+    on every materialized elementwise op. The (6, F) output row matrix pads
+    only 8/6 = 1.33x."""
     F = fa.shape[0]
     fvalid = jnp.arange(F) < n_faces
     vvalid = jnp.arange(px.shape[0]) < n_verts
@@ -164,32 +174,31 @@ def _unwrap_core(
     def pick(corner, axis_idx):
         return jnp.take_along_axis(tri_st[corner], axis_idx[None, :], axis=0)[0]
 
-    uc = jnp.stack([us_f * pick(c, ua_f) for c in range(3)], axis=1)  # (F, 3)
-    vc = jnp.stack([vs_f * pick(c, va_f) for c in range(3)], axis=1)
-    max_axis = jnp.stack(
-        [jnp.abs(pick(c, ax_f)) for c in range(3)], axis=1
-    )
-
     # reference quirk: normalize by the per-corner-slot max over ALL faces
-    mdd = jnp.max(jnp.where(fvalid[:, None], max_axis, -jnp.inf), axis=0)
-    uc = jnp.clip((uc / mdd[None, :] + 1.0) * 0.5, 0.0, 1.0)
-    vc = jnp.clip((vc / mdd[None, :] + 1.0) * 0.5, 0.0, 1.0)
-    face_uv = jnp.stack([uc, vc], axis=-1)  # (F, 3, 2)
+    mdd = [
+        jnp.max(jnp.where(fvalid, jnp.abs(pick(c, ax_f)), -jnp.inf))
+        for c in range(3)
+    ]
+    uc = [
+        jnp.clip((us_f * pick(c, ua_f) / mdd[c] + 1.0) * 0.5, 0.0, 1.0)
+        for c in range(3)
+    ]  # 3 x (F,) — SoA throughout, see docstring
+    vc = [
+        jnp.clip((vs_f * pick(c, va_f) / mdd[c] + 1.0) * 0.5, 0.0, 1.0)
+        for c in range(3)
+    ]
 
     # -- slice rotation (uv_unwrap._rotate_slices) ----------------------
     # per-vertex accumulated tangents from the uv gradient
-    tex = [face_uv[:, c] for c in range(3)]
-    duv1 = tex[1] - tex[0]
-    duv2 = tex[2] - tex[0]
+    du1, dv1 = uc[1] - uc[0], vc[1] - vc[0]
+    du2, dv2 = uc[2] - uc[0], vc[2] - vc[0]
     dpos = [
         [tri[1][d] - tri[0][d] for d in range(3)],
         [tri[2][d] - tri[0][d] for d in range(3)],
     ]
-    denom_t = jnp.clip(
-        duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0], 1e-6, None
-    )
+    denom_t = jnp.clip(du1 * dv2 - dv1 * du2, 1e-6, None)
     tang = [
-        (dpos[0][d] * duv2[:, 1] - dpos[1][d] * duv1[:, 1]) / denom_t
+        (dpos[0][d] * dv2 - dpos[1][d] * dv1) / denom_t
         for d in range(3)
     ]  # (F,) per axis — NOTE host computes in world coords; here vp coords
     tang = [jnp.where(fvalid, t, 0.0) for t in tang]
@@ -238,42 +247,44 @@ def _unwrap_core(
 
     ca_f = ca[jnp.clip(index, 0, 5)]
     sa_f = sa[jnp.clip(index, 0, 5)]
-    cu = face_uv[..., 0] * 2.0 - 1.0
-    cv = face_uv[..., 1] * 2.0 - 1.0
-    ru = ca_f[:, None] * cu - sa_f[:, None] * cv
-    rv = sa_f[:, None] * cu + ca_f[:, None] * cv
+    cu = [c * 2.0 - 1.0 for c in uc]
+    cv = [c * 2.0 - 1.0 for c in vc]
+    ru = [ca_f * cu[c] - sa_f * cv[c] for c in range(3)]
+    rv = [sa_f * cu[c] + ca_f * cv[c] for c in range(3)]
 
     # per-slice global min/max over BOTH uv components (host: cur.min())
     lo6, hi6 = [], []
     for g in range(6):
-        m = (fvalid & (index == g))[:, None]
-        sel = jnp.broadcast_to(m, ru.shape)
+        m = fvalid & (index == g)
         lo6.append(
-            jnp.minimum(
-                jnp.min(jnp.where(sel, ru, jnp.inf)),
-                jnp.min(jnp.where(sel, rv, jnp.inf)),
+            jnp.min(
+                jnp.stack(
+                    [jnp.min(jnp.where(m, c, jnp.inf)) for c in ru + rv]
+                )
             )
         )
         hi6.append(
-            jnp.maximum(
-                jnp.max(jnp.where(sel, ru, -jnp.inf)),
-                jnp.max(jnp.where(sel, rv, -jnp.inf)),
+            jnp.max(
+                jnp.stack(
+                    [jnp.max(jnp.where(m, c, -jnp.inf)) for c in ru + rv]
+                )
             )
         )
-    lo_f = jnp.stack(lo6)[jnp.clip(index, 0, 5)][:, None]
-    hi_f = jnp.stack(hi6)[jnp.clip(index, 0, 5)][:, None]
+    lo_f = jnp.stack(lo6)[jnp.clip(index, 0, 5)]
+    hi_f = jnp.stack(hi6)[jnp.clip(index, 0, 5)]
     scale = jnp.maximum(hi_f - lo_f, 1e-12)
-    face_uv = jnp.stack([(ru - lo_f) / scale, (rv - lo_f) / scale], axis=-1)
+    uc = [(ru[c] - lo_f) / scale for c in range(3)]
+    vc = [(rv[c] - lo_f) / scale for c in range(3)]
 
     # -- overlap resolution (2 depth rounds) ----------------------------
     depth = sgn_f * (pick(0, ax_f) + pick(1, ax_f) + pick(2, ax_f)) / 3.0
 
     vis1, fine1, coarse1, nm1 = _depth_round(
-        face_uv, index, depth, fvalid, pair_caps
+        uc, vc, index, depth, fvalid, pair_caps
     )
     demoted = fvalid & ~vis1
     vis2, fine2, coarse2, nm2 = _depth_round(
-        face_uv, index, depth, demoted, pair_caps
+        uc, vc, index, depth, demoted, pair_caps
     )
     atlas_index = jnp.where(
         vis1, index, jnp.where(vis2, index + 6, 12)
@@ -296,26 +307,33 @@ def _unwrap_core(
     div_x = jnp.where(atlas_index >= 12, 2.0, jnp.where(atlas_index >= 6, 6.0, 3.0))
     div_y = jnp.where(atlas_index >= 12, 3.0, jnp.where(atlas_index >= 6, 6.0, 3.0))
 
-    uc = face_uv[..., 0]
-    vc = face_uv[..., 1]
     # overlap slices 6..11: rescale to fill their patch, capped at 2x
     for i in range(6, 12):
         m = fvalid & (atlas_index == i)
-        sel = jnp.broadcast_to(m[:, None], uc.shape)
         any_m = jnp.any(m)
-        ulo = jnp.min(jnp.where(sel, uc, jnp.inf))
-        uhi = jnp.max(jnp.where(sel, uc, -jnp.inf))
-        vlo = jnp.min(jnp.where(sel, vc, jnp.inf))
-        vhi = jnp.max(jnp.where(sel, vc, -jnp.inf))
-        uc = jnp.where(
-            sel & any_m, (uc - ulo) / jnp.maximum(uhi - ulo, 0.5), uc
+        ulo = jnp.min(
+            jnp.stack([jnp.min(jnp.where(m, c, jnp.inf)) for c in uc])
         )
-        vc = jnp.where(
-            sel & any_m, (vc - vlo) / jnp.maximum(vhi - vlo, 0.5), vc
+        uhi = jnp.max(
+            jnp.stack([jnp.max(jnp.where(m, c, -jnp.inf)) for c in uc])
         )
+        vlo = jnp.min(
+            jnp.stack([jnp.min(jnp.where(m, c, jnp.inf)) for c in vc])
+        )
+        vhi = jnp.max(
+            jnp.stack([jnp.max(jnp.where(m, c, -jnp.inf)) for c in vc])
+        )
+        uc = [
+            jnp.where(m & any_m, (c - ulo) / jnp.maximum(uhi - ulo, 0.5), c)
+            for c in uc
+        ]
+        vc = [
+            jnp.where(m & any_m, (c - vlo) / jnp.maximum(vhi - vlo, 0.5), c)
+            for c in vc
+        ]
     pad = island_padding
-    uc = jnp.clip(uc * (1 - 2 * pad) + pad, 0.0, 1.0)
-    vc = jnp.clip(vc * (1 - 2 * pad) + pad, 0.0, 1.0)
+    uc = [jnp.clip(c * (1 - 2 * pad) + pad, 0.0, 1.0) for c in uc]
+    vc = [jnp.clip(c * (1 - 2 * pad) + pad, 0.0, 1.0) for c in vc]
 
     # individual squares (index >= 12), reference pool layout
     rem = fvalid & (atlas_index >= 12)
@@ -329,33 +347,45 @@ def _unwrap_core(
     height = 1.0 / nh.astype(jnp.float32)
     clip_val = jnp.minimum(width, height) * 1.5
 
-    ulo = jnp.min(uc, axis=1, keepdims=True)
-    uhi = jnp.max(uc, axis=1, keepdims=True)
-    vlo = jnp.min(vc, axis=1, keepdims=True)
-    vhi = jnp.max(vc, axis=1, keepdims=True)
-    ruc = (uc - ulo) / jnp.maximum(uhi - ulo, clip_val)
-    rvc = (vc - vlo) / jnp.maximum(vhi - vlo, clip_val)
+    ulo = jnp.minimum(jnp.minimum(uc[0], uc[1]), uc[2])  # per-face
+    uhi = jnp.maximum(jnp.maximum(uc[0], uc[1]), uc[2])
+    vlo = jnp.minimum(jnp.minimum(vc[0], vc[1]), vc[2])
+    vhi = jnp.maximum(jnp.maximum(vc[0], vc[1]), vc[2])
     nwf = nw.astype(jnp.float32)
     nhf = nh.astype(jnp.float32)
-    ruc = jnp.clip(ruc * (1 - pad * nwf * 0.5) + pad * nwf * 0.25, 0.0, 1.0)
-    rvc = jnp.clip(rvc * (1 - pad * nhf * 0.5) + pad * nhf * 0.25, 0.0, 1.0)
     ids = (jnp.cumsum(rem.astype(jnp.int32)) - 1).astype(jnp.float32)
-    ruc = ruc * width + (ids % nwf)[:, None] * width
-    rvc = rvc * height + jnp.floor(ids / nwf)[:, None] * height
-    ruc = jnp.clip(ruc * (1 - pad) + pad * 0.5, 0.0, 1.0)
-    rvc = jnp.clip(rvc * (1 - pad) + pad * 0.5, 0.0, 1.0)
-    uc = jnp.where(rem[:, None], ruc, uc)
-    vc = jnp.where(rem[:, None], rvc, vc)
+    col = (ids % nwf) * width
+    row = jnp.floor(ids / nwf) * height
 
-    final_u = uc / div_x[:, None] + offset_x[:, None]
-    final_v = vc / div_y[:, None] + offset_y[:, None]
-    uv = jnp.stack([final_u, final_v], axis=-1)  # (F, 3, 2)
-    uv_q = jnp.clip(jnp.round(uv * 65535.0), 0, 65535).astype(jnp.uint16)
+    def place(c, lo, hi, cval, nf_, w, cell_off):
+        r = (c - lo) / jnp.maximum(hi - lo, cval)
+        r = jnp.clip(r * (1 - pad * nf_ * 0.5) + pad * nf_ * 0.25, 0.0, 1.0)
+        r = r * w + cell_off
+        return jnp.clip(r * (1 - pad) + pad * 0.5, 0.0, 1.0)
+
+    uc = [
+        jnp.where(rem, place(c, ulo, uhi, clip_val, nwf, width, col), c)
+        for c in uc
+    ]
+    vc = [
+        jnp.where(rem, place(c, vlo, vhi, clip_val, nhf, height, row), c)
+        for c in vc
+    ]
+
+    rows = []
+    for c in range(3):
+        fu = uc[c] / div_x + offset_x
+        fv = vc[c] / div_y + offset_y
+        rows.append(fu)
+        rows.append(fv)
+    uv6 = jnp.clip(
+        jnp.round(jnp.stack(rows) * 65535.0), 0, 65535
+    ).astype(jnp.uint16)  # (6, F): rows [u0, v0, u1, v1, u2, v2]
 
     counters = jnp.stack(
         [fine1 + fine2, coarse1 + coarse2, jnp.maximum(nm1, nm2)]
     )
-    return uv_q, atlas_index, counters
+    return uv6, atlas_index, counters
 
 
 _unwrap_jit = jax.jit(
@@ -430,7 +460,8 @@ def unwrap_device(
         if nmulti > multi_cap:
             multi_cap = 2 * max(multi_cap, nmulti)
 
-    uv16 = np.asarray(uv_q)[:F]  # (F, 3, 2) uint16, ONE compact download
+    # ONE compact (6, Fb) u16 download; host reassembles (F, 3, 2)
+    uv16 = np.ascontiguousarray(np.asarray(uv_q).T.reshape(-1, 3, 2)[:F])
     if return_flat:
         return uv16.astype(np.float32) / 65535.0, None
     if F == 0:

@@ -773,11 +773,12 @@ class SF3D:
         bake_pair2) static capacities.
 
         Output wire (uint8): [albedo u8 3*res^2][bump u8 3*res^2]
-        [uv lo-bytes 6 per face][uv hi-bytes 6 per face][counters u32 x6]
-        [rm u16 x2] — uv ships as two FLAT byte planes (the host recombines
-        lo|hi<<8): an interleaved (F, 3, 2, 2) u8 stack would inherit a
-        T(4,128)-tiled HBM layout padding its (2, 2) minor dims 128x
-        (38.7 GB at a 25M-face retry capacity). Bump is dithered
+        [uv lo-bytes (6, Fb) component-major][uv hi-bytes (6, Fb)]
+        [counters u32 x6][rm u16 x2] — uv ships as two FLAT byte planes in
+        row order [u0, v0, u1, v1, u2, v2] (the host recombines lo|hi<<8 and
+        transposes to (F, 3, 2)): an interleaved (F, 3, 2, 2) u8 stack would
+        inherit a T(4,128)-tiled HBM layout padding its (2, 2) minor dims
+        128x (38.7 GB at a 25M-face retry capacity). Bump is dithered
         on device over covered texels (``float32_to_uint8`` semantics with a
         counter-based uniform noise).
         """
@@ -812,19 +813,19 @@ class SF3D:
             for c in range(3)
         ]
 
-        uv_q, _atlas, unwrap_counters = _unwrap_core(
+        uv6, _atlas, unwrap_counters = _unwrap_core(
             rp[0], rp[1], rp[2], nrm[0], nrm[1], nrm[2], fa, fb, fc,
             n_verts, n_faces, island_padding, caps[:3],
-        )  # (Fb, 3, 2) uint16
+        )  # (6, Fb) uint16 rows [u0, v0, u1, v1, u2, v2]
 
         # world positions for the material query: world = rotated @ rot
         rp_cf = jnp.stack(rp)  # (3, Nv) rotated
         world = rot.T @ rp_cf  # (3, Nv)
         pos_v = [world[0], world[1], world[2]]
 
-        uvf = uv_q.astype(jnp.float32) / 65535.0
-        uc = (uvf[:, 0, 0], uvf[:, 1, 0], uvf[:, 2, 0])
-        vc = (uvf[:, 0, 1], uvf[:, 1, 1], uvf[:, 2, 1])
+        uvf = uv6.astype(jnp.float32) / 65535.0
+        uc = (uvf[0], uvf[2], uvf[4])
+        vc = (uvf[1], uvf[3], uvf[5])
         albedo_img, bump_img, mask, bake_counters = self._bake_core(
             scene_code, uc, vc, pos_v, fa, fb, fc, res, caps[3], caps[4]
         )
@@ -840,7 +841,7 @@ class SF3D:
         bump_d = jnp.clip(bump_img + noise * mask[None, :, :], 0.0, 1.0)
         bump_u8 = jnp.clip(bump_d * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
 
-        uvq_flat = uv_q.reshape(-1)  # (6 Fb,) u16, one relayout copy
+        uvq_flat = uv6.reshape(-1)  # (6 Fb,) u16, component-major
         uv_lo = (uvq_flat & jnp.uint16(0xFF)).astype(jnp.uint8)
         uv_hi = (uvq_flat >> jnp.uint16(8)).astype(jnp.uint8)
         uv_bytes = jnp.concatenate([uv_lo, uv_hi])  # two flat byte planes
@@ -1137,10 +1138,11 @@ class SF3D:
         albedo_u8 = wire[:n_img].reshape(3, res, res).transpose(1, 2, 0)
         bump_u8 = wire[n_img : 2 * n_img].reshape(3, res, res).transpose(1, 2, 0)
         uv_sec = wire[2 * n_img : 2 * n_img + 12 * fb_]
+        # [lo planes (6, Fb)][hi planes (6, Fb)], rows [u0,v0,u1,v1,u2,v2]
         uv16 = (
             uv_sec[: 6 * fb_].astype(np.uint16)
             | (uv_sec[6 * fb_ :].astype(np.uint16) << np.uint16(8))
-        ).reshape(fb_, 3, 2)[:nf]
+        ).reshape(3, 2, fb_).transpose(2, 0, 1)[:nf]
         uv_flat = uv16.astype(np.float32) / 65535.0  # (F, 3, 2)
         rm_b = tail[24:28].astype(np.uint32)
         roughness = float((rm_b[0] | (rm_b[1] << np.uint32(8))) / 65535.0)
