@@ -244,14 +244,15 @@ def bench_highres(tsr):
     verts, faces, _ = tsr.extract_mesh_wait(dispatch())[0]
     log(f"# 512^3 warmup: {len(verts)} verts {len(faces)} faces")
     cap = 65536 * -(-int(len(verts) * 1.25) // 65536)
-    # pipelined like the lean loop (one extra extraction in flight) so the
-    # ~25 MB wire fetch rides under the next iteration's device compute;
-    # timed as blocks of 3 for the same anti-correlation reason
+    # pipelined like the lean loop (TWO extra extractions in flight: the
+    # ~21 MB wire fetch is 0.2-1.5 s on the fluctuating link, so one
+    # in-flight iteration cannot always cover it); timed as blocks of 3
+    # for the same anti-correlation reason, median of 3 blocks
     inflight = [dispatch()]
     tsr.extract_mesh_wait(inflight.pop(0), store=False)  # warm sized program
-    inflight = [dispatch()]
+    inflight = [dispatch(), dispatch()]
     block_times = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(3):
             inflight.append(dispatch())
@@ -321,14 +322,17 @@ def main():
 
     result = bench_lean(tsr, matting)
 
-    # extra configs, cheapest-first, each skipped if the remaining budget
-    # cannot plausibly cover a cold-cache run of it
+    # extra configs, each skipped if the remaining budget cannot plausibly
+    # cover a cold-cache run of it. SF3D runs FIRST: measured 2.38 s idle
+    # (sf3d_stage_check) but 3.4 s when captured after the farm + 512^3
+    # configs had churned HBM/tunnel state — order the capture so each
+    # config sees the cleanest state its own serving process would
     state = {}
     extras = (
-        ("farm_sec_per_asset", lambda: bench_farm(tsr, matting), 240),
-        ("highres512_sec", lambda: bench_highres(tsr), 240),
         ("sf3d_sec_per_asset", lambda: bench_sf3d(state), 600),
         ("sf3d_farm_sec_per_asset", lambda: bench_sf3d_farm(state), 300),
+        ("farm_sec_per_asset", lambda: bench_farm(tsr, matting), 240),
+        ("highres512_sec", lambda: bench_highres(tsr), 240),
     )
     for key, fn, reserve in extras:
         left = deadline - time.monotonic()
