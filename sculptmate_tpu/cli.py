@@ -16,13 +16,15 @@ import time
 
 def _cmd_generate(args: argparse.Namespace) -> int:
     import numpy as np
-    from PIL import Image
+    from PIL import Image, ImageOps
     import jax.numpy as jnp
 
     from sculptmate_tpu.io import write_glb, write_obj
 
     t0 = time.time()
-    img = Image.open(args.image).convert("RGBA")
+    # EXIF re-orientation at decode (fix_image_orientation, bg.py:128-138):
+    # idempotent with the one inside remove() — the tag is stripped there
+    img = ImageOps.exif_transpose(Image.open(args.image)).convert("RGBA")
 
     # reference ratios: 0.75 lean / 0.85 + alpha for fast (GUIPanel.py:158-160)
     ratio = args.ratio if args.ratio is not None else (0.85 if args.model == "fast" else 0.75)
@@ -161,12 +163,12 @@ def _cmd_render(args: argparse.Namespace) -> int:
     """Render spherical novel views of a generated scene (the reference's
     dormant volume-render path, nerf_renderer.py:93-172)."""
     import numpy as np
-    from PIL import Image
+    from PIL import Image, ImageOps
     import jax.numpy as jnp
 
     from sculptmate_tpu.systems.tsr import TSR
 
-    img = Image.open(args.image).convert("RGB")
+    img = ImageOps.exif_transpose(Image.open(args.image)).convert("RGB")
     arr = np.asarray(img, dtype=np.float32)[None] / 255.0
     tsr = TSR(seed=args.seed)
     codes = tsr.scene_codes(jnp.asarray(arr))

@@ -20,7 +20,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from PIL import Image
+from PIL import Image, ImageOps
 
 from sculptmate_tpu.frontend.u2net import U2Net
 
@@ -65,6 +65,11 @@ class U2NetMatting:
         mask_img = Image.fromarray((mask * 255).astype(np.uint8), mode="L")
         return mask_img.resize(image.size, Image.Resampling.LANCZOS)
 
+    def predict(self, image: Image.Image, *args, **kwargs):
+        """Registry-session-compatible surface: list of masks
+        (``rembg/sessions/base.py:17-31`` returns ``List[PILImage]``)."""
+        return [self.predict_mask(image)]
+
     def predict_mask_batch(self, images: jnp.ndarray) -> jnp.ndarray:
         """Device path: (B, 320, 320, 3) in [0,1] -> (B, 320, 320) masks."""
         return self._predict(self.variables, images)
@@ -89,6 +94,19 @@ def post_process_mask(mask: np.ndarray) -> np.ndarray:
     return m
 
 
+def _concat_v_multi(imgs):
+    """Vertical concat of multiple cutouts onto RGBA canvases
+    (``bg.py:64-94``): width comes from the first image, each subsequent
+    image is pasted below the previous pivot."""
+    pivot = imgs[0]
+    for im in imgs[1:]:
+        dst = Image.new("RGBA", (pivot.width, pivot.height + im.height))
+        dst.paste(pivot, (0, 0))
+        dst.paste(im, (0, pivot.height))
+        pivot = dst
+    return pivot
+
+
 def remove(
     image: Image.Image,
     session=None,
@@ -97,45 +115,63 @@ def remove(
     only_mask: bool = False,
     putalpha: bool = False,
     bgcolor=None,
+    **session_kwargs,
 ) -> Image.Image:
     """rembg.remove equivalent, matching the live surface of
     ``bg.py:149-238`` option-for-option:
 
+    - EXIF re-orientation first (``fix_image_orientation``,
+      ``bg.py:128-138,198``): phone-rotated JPEGs are transposed upright
+      before matting
     - default: ``naive_cutout`` — the image is composited onto an empty
       RGBA canvas through the mask (``bg.py:33-46,217``), so RGB under
       partial alpha blends toward (0,0,0) exactly like ``Image.composite``
     - ``putalpha=True``: keep the original RGB, mask becomes the alpha
       channel (``bg.py:49-61,195,214-215``)
-    - ``only_mask=True``: return the 'L' mask itself (``bg.py:210-211``);
+    - ``only_mask=True``: return the mask(s) (``bg.py:210-211``);
       ``bgcolor`` is then ignored, as in the reference (``bg.py:225``)
     - ``post_process``: morphological open + blur + threshold (``bg.py:97-107``)
     - ``bgcolor``: RGBA tuple composited behind the cutout (``bg.py:110-125``)
+    - multi-mask sessions (cloth_seg yields up to 3 masks) produce one
+      cutout per mask, vertically concatenated (``bg.py:64-94,205-223``);
+      extra kwargs (e.g. ``cc="upper"``) are forwarded to the session's
+      ``predict``
 
     The reference's ``alpha_matting*`` kwargs are accepted there
     (``bg.py:151-154``) but dead — never read in the body — so they are
-    intentionally not ported. EXIF re-orientation (``bg.py:198``) happens at
-    image decode; inputs here are already-decoded PIL images.
+    intentionally not ported.
 
-    ``session`` may be any object with ``predict_mask`` (a ``U2NetMatting``
-    or a registry session from ``frontend.sessions.new_session``);
-    ``session_name`` selects from the registry."""
+    ``session`` may be any object with ``predict`` (list of masks) or
+    ``predict_mask`` (a ``U2NetMatting`` or a registry session from
+    ``frontend.sessions.new_session``); ``session_name`` selects from the
+    registry."""
     if session is None and session_name is not None:
         from sculptmate_tpu.frontend.sessions import new_session
 
         session = new_session(session_name)
     session = session or default_session()
-    mask = session.predict_mask(image)
-    if post_process:
-        mask = Image.fromarray(post_process_mask(np.asarray(mask)))
-    if only_mask:
-        return mask
-    if putalpha:
-        cutout = image.convert("RGB").copy()
-        cutout.putalpha(mask)
+    image = ImageOps.exif_transpose(image)
+    if hasattr(session, "predict"):
+        masks = session.predict(image, **session_kwargs)
     else:
-        empty = Image.new("RGBA", image.size, 0)
-        cutout = Image.composite(image, empty, mask)
-    if bgcolor is not None:
+        masks = [session.predict_mask(image)]
+
+    cutouts = []
+    for mask in masks:
+        if post_process:
+            mask = Image.fromarray(post_process_mask(np.asarray(mask)))
+        if only_mask:
+            cutout = mask
+        elif putalpha:
+            cutout = image.convert("RGB").copy()
+            cutout.putalpha(mask)
+        else:
+            empty = Image.new("RGBA", image.size, 0)
+            cutout = Image.composite(image, empty, mask)
+        cutouts.append(cutout)
+
+    cutout = _concat_v_multi(cutouts) if cutouts else image
+    if bgcolor is not None and not only_mask:
         bg = Image.new("RGBA", cutout.size, tuple(bgcolor))
         # the RGBA cutout itself is the paste mask (its alpha band), as in
         # apply_background_color (bg.py:123)

@@ -79,7 +79,14 @@ class MCResult(NamedTuple):
 def _block_local_offsets(RY: int, RZ: int) -> np.ndarray:
     """Flat offsets of the 8^3 block cells within the (RX,RY,RZ) flat layout."""
     oi, oj, ok = np.meshgrid(np.arange(BS), np.arange(BS), np.arange(BS), indexing="ij")
-    return (oi * (RY * RZ) + oj * RZ + ok).reshape(-1).astype(np.int32)
+    off = (oi * (RY * RZ) + oj * RZ + ok).reshape(-1).astype(np.int32)
+    # scatter_compact_rows' MXU branch encodes (offset + 1) as f32; it must
+    # stay exact or vertex ids silently corrupt (grids with RY*RZ > ~2.4M,
+    # e.g. 2048^2 z-planes, would exceed the f32 integer range)
+    assert int(off.max()) + 1 < 2**24, (
+        f"block offsets exceed exact-f32 range: RY*RZ={RY * RZ}"
+    )
+    return off
 
 
 def _block_bases(RX: int, RY: int, RZ: int) -> np.ndarray:
@@ -379,7 +386,10 @@ def scatter_compact_rows(
         # payload = in-block flat offset + 1 (0 = empty slot); < 2^24 so
         # f32-exact (bf16 cannot represent every offset)
         payload = (local_off + 1).astype(jnp.float32)
-        C = 8192  # row slab: bounds the (C, 512, K) f32 one-hot at 256 MB
+        # row slab: the (C, 512, K) one-hot is 256 MB as bool and up to
+        # 1 GiB if XLA materializes the f32 cast — budgeted against 16 GB
+        # HBM even with two 512^3 extractions in flight
+        C = 8192
         Ap = -(-A // C) * C
         wp = jnp.pad(within, ((0, Ap - A), (0, 0)))
         mp = jnp.pad(gmask, ((0, Ap - A), (0, 0)))

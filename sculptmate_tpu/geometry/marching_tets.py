@@ -78,7 +78,11 @@ def default_block_capacity(resolution: int, kind: str) -> int:
 
 def _block_local_offsets(Np: int) -> np.ndarray:
     oi, oj, ok = np.meshgrid(np.arange(BS), np.arange(BS), np.arange(BS), indexing="ij")
-    return ((oi * Np + oj) * Np + ok).reshape(-1).astype(np.int32)
+    off = ((oi * Np + oj) * Np + ok).reshape(-1).astype(np.int32)
+    # scatter_compact_rows encodes (offset + 1) as f32 in its MXU branch;
+    # keep it in the exact-integer range (see marching_cubes._block_local_offsets)
+    assert int(off.max()) + 1 < 2**24, f"block offsets exceed exact-f32 range: Np={Np}"
+    return off
 
 
 def _block_bases(Np: int) -> np.ndarray:

@@ -295,6 +295,9 @@ class AssetFarm:
                 self.params, codes, resolution, threshold, mv, bc,
                 has_vertex_color,
             )
+            # keep the retry's D2H overlapped with device compute, same as
+            # the initial dispatch in extract_batch_wire_async
+            fut.copy_to_host_async()
         self._wire_caps[resolution] = (mv, bc)
 
         scale = 2 * self.tsr.config.radius / (resolution - 1.0)
@@ -408,9 +411,9 @@ class AssetFarm:
 
         In wire mode the batch is processed in ``chunk``-sized dp-sharded
         slices (default: the dp axis size, i.e. one asset per device) with
-        TWO chunks in flight: chunk i's D2H wire fetch + native face rebuild
-        on the host overlap chunk i+1's matting/encode/extraction on the
-        devices. This is what makes single-chip serving throughput match the
+        up to THREE chunks dispatched before the first retirement: chunk
+        i's D2H wire fetch + native face rebuild on the host overlap chunks
+        i+1..i+3's matting/encode/extraction on the devices. This is what makes single-chip serving throughput match the
         pipelined per-asset loop (``TSR.extract_mesh_async``) instead of
         serializing one big fetch + B host decodes after all device work."""
         B = rgba.shape[0]

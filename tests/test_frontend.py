@@ -155,3 +155,114 @@ def test_remove_cutout_modes_golden():
     exp_bg = Image.new("RGBA", img.size, (0, 255, 0, 255))
     exp_bg.paste(cut, mask=cut)
     np.testing.assert_array_equal(np.asarray(out_bg), np.asarray(exp_bg))
+
+
+def test_remove_exif_orientation():
+    """remove() must re-orient EXIF-rotated JPEGs before matting
+    (fix_image_orientation, bg.py:128-138, applied at bg.py:198): a
+    phone-rotated JPEG yields the SAME cutout as its upright twin."""
+    import io
+
+    from PIL import ImageOps
+
+    from sculptmate_tpu.frontend.matting import remove
+
+    # upright scene: bright block in the TOP-LEFT quadrant
+    up = np.zeros((64, 48, 3), np.uint8)
+    up[:32, :24] = (220, 120, 60)
+    upright = Image.fromarray(up)
+
+    # the same scene as a camera would store it with orientation tag 6
+    # (=Rotate 90 CW to display): raw pixels rotated 90 CCW + EXIF tag
+    rotated = upright.transpose(Image.Transpose.ROTATE_90)
+    exif = Image.Exif()
+    exif[0x0112] = 6  # Orientation
+    buf = io.BytesIO()
+    rotated.save(buf, format="JPEG", exif=exif, quality=95)
+    buf.seek(0)
+    tagged = Image.open(buf)
+    # PIL does NOT auto-apply orientation at decode; the raw load is sideways
+    assert tagged.size == (64, 48)[::-1][::-1] or tagged.size == (48, 64)
+    assert tagged.size != upright.size
+
+    session = _FakeSession()
+    out_tagged = remove(tagged, session=session)
+    out_upright = remove(upright, session=session)
+    assert out_tagged.size == out_upright.size
+    # JPEG is lossy: compare masks (thresholded luminance is quantization-
+    # robust for this flat-color fixture) and the exact transpose recipe
+    np.testing.assert_array_equal(
+        np.asarray(out_tagged)[..., 3], np.asarray(out_upright)[..., 3]
+    )
+    exp = remove(ImageOps.exif_transpose(Image.open(buf)), session=session)
+    np.testing.assert_array_equal(np.asarray(out_tagged), np.asarray(exp))
+
+
+class _ThreeMaskSession:
+    """Stub multi-mask session (cloth_seg-shaped: 3 palette masks)."""
+
+    def predict(self, image, **kwargs):
+        w, h = image.size
+        masks = []
+        for third in range(3):
+            m = np.zeros((h, w), np.uint8)
+            m[third * h // 3 : (third + 1) * h // 3] = 255
+            masks.append(Image.fromarray(m, mode="L"))
+        return masks
+
+
+def test_remove_multimask_concat_golden():
+    """Multi-mask sessions produce one cutout PER mask, vertically
+    concatenated (get_concat_v_multi, bg.py:64-94,221-223)."""
+    from sculptmate_tpu.frontend.matting import remove
+
+    img = Image.fromarray(np.full((9, 6, 3), (10, 200, 90), np.uint8))
+    session = _ThreeMaskSession()
+    masks = session.predict(img)
+
+    out = remove(img, session=session)
+    assert out.size == (6, 27)  # width kept, 3 bands stacked vertically
+    empty = Image.new("RGBA", img.size, 0)
+    for i, mask in enumerate(masks):
+        band = np.asarray(out)[i * 9 : (i + 1) * 9]
+        exp = Image.composite(img, empty, mask)  # naive_cutout per mask
+        np.testing.assert_array_equal(band, np.asarray(exp))
+
+    # only_mask with multiple masks: the masks themselves are concatenated
+    # onto RGBA canvases (bg.py:84-94 pastes into an RGBA dst)
+    out_m = remove(img, session=session, only_mask=True)
+    assert out_m.size == (6, 27) and out_m.mode == "RGBA"
+
+    # bgcolor still applies after the concat (bg.py:225-226)
+    out_bg = remove(img, session=session, bgcolor=(255, 0, 0, 255))
+    arr = np.asarray(out_bg)
+    assert arr.shape == (27, 6, 4)
+    assert (arr[..., 3] == 255).all()  # fully opaque after composite
+
+
+def test_remove_cloth_seg_category_kwarg():
+    """cloth_seg through remove(): session kwargs (cc=) reach predict and
+    select a single palette mask (u2net_cloth_seg.py recipe)."""
+    from sculptmate_tpu.frontend.matting import remove
+    from sculptmate_tpu.frontend.sessions import ClothSegSession
+
+    s = ClothSegSession.__new__(ClothSegSession)
+    s.input_size = (32, 32)
+
+    def _fake_predict(variables, img):
+        out = np.zeros((1, 32, 32), np.int32)
+        out[0, :16] = 1  # upper
+        out[0, 16:24] = 2  # lower
+        out[0, 24:] = 3  # full
+        return out
+
+    s._predict = _fake_predict
+    s.variables = None
+
+    img = Image.fromarray(np.full((32, 32, 3), 128, np.uint8))
+    out_all = remove(img, session=s)
+    assert out_all.size == (32, 96)  # three stacked cutouts
+    out_upper = remove(img, session=s, cc="upper")
+    assert out_upper.size == (32, 32)  # one selected mask, no concat
+    alpha = np.asarray(out_upper)[..., 3]
+    assert alpha[:14].max() == 255 and alpha[26:].max() == 0
