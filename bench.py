@@ -11,8 +11,10 @@ loop is SOFTWARE-PIPELINED (``TSR.extract_mesh_async``/``extract_mesh_wait``):
 iteration i+1's device programs are enqueued before iteration i's wire fetch,
 so the tunneled D2H transfer (whose latency fluctuates 30-500 ms per sync
 across a session) hides under device compute instead of being serially
-exposed — exactly how a production serving loop runs. Median of 9 iterations;
-``spread`` = (max-min)/median across them.
+exposed — exactly how a production serving loop runs. 9 timed iterations in
+3 blocks of 3: ``value`` = median block, ``value_min`` = fastest block (the
+contention-robust floor — tunnel spikes and host contention only ever
+inflate a block), ``spread`` = (max-min)/median across blocks.
 
 Additional BASELINE.md configs, each a median of >= 3 and gated by a wall
 -clock budget (``SCULPTMATE_BENCH_BUDGET`` seconds, default 1500) so the
@@ -21,8 +23,9 @@ primary metric always lands:
 - ``sf3d_sec_per_asset``: SF3D image -> UV-unwrapped baked textures
   (config 3; reference operating point ``StableFast/generate.py:34`` +
   ``sf3d/system.py:308-528``).
-- ``highres512_sec``: 512^3 chunked extraction (config 4; vs the
-  reference's 256^3 x 8192-chunk host loop, ``TripoSR/generate.py:11-13``).
+- ``highres512_sec``: 512^3 chunked extraction + quadric simplify to 20k
+  tris (config 4's full definition; vs the reference's 256^3 x 8192-chunk
+  host loop + ``mesh_simplify.py``, ``TripoSR/generate.py:11-13``).
 - ``farm_sec_per_asset``: batched 8-image throughput via the AssetFarm API
   (config 5) on this chip's 1-device dp mesh.
 - ``sf3d_farm_sec_per_asset``: SF3D at batch scale via ``SF3DFarm`` (host
@@ -46,7 +49,10 @@ import numpy as np
 BASELINE_SEC_PER_ASSET = 0.5
 RESOLUTION = 256
 N_BLOCKS = 3  # timed blocks of BLOCK pipelined iterations each
-BLOCK = 6  # long enough that one ~150 ms tunnel-latency spike costs <10%
+BLOCK = 3  # 9 timed iterations total: fits a cold driver budget; the
+# anti-spike defense is the block median PLUS the reported min-of-blocks
+# (``value_min``): a tunnel-latency spike or host contention can inflate a
+# block, never deflate one, so min-of-blocks is the contention-robust floor
 PIPELINE_DEPTH = 3
 
 
@@ -140,7 +146,12 @@ def bench_lean(tsr, matting):
     spread = (max(block_times) - min(block_times)) / dt
     log(f"# iteration times: {[round(t, 3) for t in iter_times]}")
     log(f"# block sec/asset: {[round(t, 4) for t in block_times]}")
-    log(f"# median {dt:.4f}s spread {spread:.3f}")
+    log(f"# median {dt:.4f}s min {min(block_times):.4f}s spread {spread:.3f}")
+    # methodology: the tunneled D2H link adds 30-500 ms latency spikes and
+    # the single host core is contention-sensitive; both only ever INFLATE a
+    # block, so ``value`` (median of blocks) is the honest serving latency
+    # under current host conditions and ``value_min`` (min of blocks) is the
+    # contention-robust floor the chip itself sustains.
     return {
         "metric": "e2e_image_to_mesh",
         "value": round(dt, 4),
@@ -148,6 +159,7 @@ def bench_lean(tsr, matting):
         "vs_baseline": round(BASELINE_SEC_PER_ASSET / dt, 3),
         "iterations": N_BLOCKS * BLOCK,
         "spread": round(float(spread), 3),
+        "value_min": round(float(min(block_times)), 4),
     }
 
 
@@ -220,12 +232,17 @@ def bench_sf3d_farm(state, batch: int = 2):
 
 
 def bench_highres(tsr):
-    """Config 4: 512^3 extraction on the lean model, sec/asset."""
+    """Config 4 (BASELINE.md:46, complete definition): 512^3 chunked
+    extraction + device MC + quadric simplify to 20k tris, sec/asset. The
+    host-side native decimation of each retired mesh runs inside the
+    pipelined loop, overlapping the next assets' device extraction."""
+    from sculptmate_tpu.geometry.decimate import decimate
     from sculptmate_tpu.ops.density_grid import (
         mlp_weights_from_params,
         query_density_grid,
     )
 
+    TARGET_TRIS = 20000
     rng = np.random.default_rng(0)
     codes = tsr.scene_codes(
         jnp.asarray(rng.random((1, 512, 512, 3)), jnp.float32)
@@ -241,26 +258,37 @@ def bench_highres(tsr):
             codes[0], resolution=512, threshold=threshold, max_verts=cap
         )
 
-    verts, faces, _ = tsr.extract_mesh_wait(dispatch())[0]
+    def retire(handle):
+        (verts, faces, _), _ = tsr.extract_mesh_wait(handle, store=False)
+        if len(faces) > TARGET_TRIS:
+            verts, faces = decimate(
+                verts, faces, target_ratio=TARGET_TRIS / len(faces)
+            )
+        return verts, faces
+
+    (verts, faces, _), _ = tsr.extract_mesh_wait(dispatch())
     log(f"# 512^3 warmup: {len(verts)} verts {len(faces)} faces")
     cap = 65536 * -(-int(len(verts) * 1.25) // 65536)
     # pipelined like the lean loop (TWO extra extractions in flight: the
     # ~21 MB wire fetch is 0.2-1.5 s on the fluctuating link, so one
-    # in-flight iteration cannot always cover it); timed as blocks of 3
-    # for the same anti-correlation reason, median of 3 blocks
+    # in-flight iteration cannot always cover it); timed as blocks of 2
+    # (each iteration is seconds - spikes are small relative to a block),
+    # median of 3 blocks
     inflight = [dispatch()]
-    tsr.extract_mesh_wait(inflight.pop(0), store=False)  # warm sized program
+    v, f = retire(inflight.pop(0))  # warm sized program + decimator
+    log(f"# 512^3 simplified: {len(f)} faces")
     inflight = [dispatch(), dispatch()]
     block_times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(3):
+        for _ in range(2):
             inflight.append(dispatch())
-            tsr.extract_mesh_wait(inflight.pop(0), store=False)
-        block_times.append((time.perf_counter() - t0) / 3)
+            retire(inflight.pop(0))
+        block_times.append((time.perf_counter() - t0) / 2)
     for h in inflight:
         tsr.extract_mesh_wait(h, store=False)
-    log(f"# 512^3 block sec/asset: {[round(t, 2) for t in block_times]}")
+    log(f"# 512^3 block sec/asset (incl simplify): "
+        f"{[round(t, 2) for t in block_times]}")
     return float(np.median(block_times))
 
 
@@ -321,18 +349,26 @@ def main():
     matting = U2NetMatting()
 
     result = bench_lean(tsr, matting)
+    # print the cumulative record after EVERY config: if an external budget
+    # kill lands mid-config, the last complete JSON line still carries
+    # everything captured so far (the driver reads the last JSON line)
+    print(json.dumps(result), flush=True)
 
     # extra configs, each skipped if the remaining budget cannot plausibly
     # cover a cold-cache run of it. SF3D runs FIRST: measured 2.38 s idle
     # (sf3d_stage_check) but 3.4 s when captured after the farm + 512^3
     # configs had churned HBM/tunnel state — order the capture so each
-    # config sees the cleanest state its own serving process would
+    # config sees the cleanest state its own serving process would.
+    # Reserves = warm-cache run time x ~2 (compiles hit the persistent
+    # /tmp/sculptmate_jax_cache primed right after the final commit; a truly
+    # cold cache cannot fit 5 configs in any budget, so the priming run is
+    # part of the release protocol, not an optimization)
     state = {}
     extras = (
-        ("sf3d_sec_per_asset", lambda: bench_sf3d(state), 600),
-        ("sf3d_farm_sec_per_asset", lambda: bench_sf3d_farm(state), 300),
-        ("farm_sec_per_asset", lambda: bench_farm(tsr, matting), 240),
-        ("highres512_sec", lambda: bench_highres(tsr), 240),
+        ("sf3d_sec_per_asset", lambda: bench_sf3d(state), 240),
+        ("sf3d_farm_sec_per_asset", lambda: bench_sf3d_farm(state), 150),
+        ("farm_sec_per_asset", lambda: bench_farm(tsr, matting), 120),
+        ("highres512_sec", lambda: bench_highres(tsr), 180),
     )
     for key, fn, reserve in extras:
         left = deadline - time.monotonic()
@@ -343,7 +379,9 @@ def main():
             result[key] = round(fn(), 4)
         except Exception as e:  # an extra config must never sink the record
             log(f"# {key} FAILED: {e!r}")
+        print(json.dumps(result), flush=True)
 
+    log("# final record:")
     print(json.dumps(result))
 
 

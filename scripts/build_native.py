@@ -13,7 +13,10 @@ import argparse
 import os
 import sys
 
-NATIVE = ["quadric_decimate", "isotropic_remesh", "unwrap_overlap", "mc_wire", "mt_wire"]
+NATIVE = [
+    "quadric_decimate", "isotropic_remesh", "unwrap_overlap", "mc_wire",
+    "mt_wire", "uv_reconstruct",
+]
 
 
 def main() -> int:

@@ -101,10 +101,19 @@ def roofline(name, jitfn, *args, n=10, flops=None, note=""):
     return dt
 
 
-def main():
+def main(sections=("micro", "lean", "sf3d")):
     print("device:", jax.devices()[0])
     rng = np.random.default_rng(0)
 
+    if "micro" in sections:
+        micro(rng)
+    if "lean" in sections:
+        lean(rng)
+    if "sf3d" in sections:
+        sf3d_breakdown(rng)
+
+
+def micro(rng):
     R = 256
     lvl_np = rng.standard_normal((R, R, R)).astype(np.float32)
     lvl = jnp.asarray(lvl_np)
@@ -131,6 +140,9 @@ def main():
     sph = 0.6 - jnp.sqrt(X**2 + Y**2 + Z**2)
     timed("marching cubes 256^3 (sphere)", mc, sph)
 
+
+def lean(rng):
+    R = 256
     from sculptmate_tpu.models.heads import NeRFMLP
     from sculptmate_tpu.ops.density_grid import (
         DensityGridSpec,
@@ -148,9 +160,10 @@ def main():
     # analytic FLOPs: XLA's cost analysis counts the z-slab lax.map body
     # once, not x32. Hidden layers dominate: R^3 points x 8 x (64x64x2),
     # plus the 64->4 output layer and the factorized first layer
-    # (3 x R^2 x 40 x 64 x 2). NOTE the shape ceiling: a 64-wide matmul can
-    # drive at most (64/128)^2 = 25% of the MXU, so 49 TF/s is
-    # speed-of-light for this program regardless of schedule.
+    # (3 x R^2 x 40 x 64 x 2). Shape ceiling: a lone 64-wide matmul can
+    # drive at most (64/128)^2 = 25% of the MXU; the z-pair block-diagonal
+    # packing (ops/density_grid._pack_weights) runs two 64-wide streams per
+    # 128-wide tile, raising the useful ceiling to 50%.
     dg_flops = R**3 * (8 * 64 * 64 * 2 + 64 * 4 * 2) + 3 * R**2 * 40 * 64 * 2
     for dt, lbl in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
         spec = DensityGridSpec(resolution=R, compute_dtype=dt)
@@ -159,7 +172,7 @@ def main():
             jax.jit(lambda t: query_density_grid(t, w, spec)),
             tri,
             flops=dg_flops,
-            note="  (64-wide: MXU shape ceiling 25%)",
+            note="  (64-wide z-paired: useful ceiling 50%)",
         )
 
     # encode: ViT-B @ 512^2 + 16-block/1024-ch backbone over 3072 tokens
@@ -251,5 +264,138 @@ def stage_breakdown(tsr, rng):
     )
 
 
+def sf3d_breakdown(rng):
+    """Per-stage roofline of the SF3D path (``SF3D.run_image``): encode,
+    estimator, the fused tet-query + MT-wire program, the host tail (D2H
+    fetch, native wire decode, quadric decimate), and the fused unwrap+bake
+    program — device-only timings amortized over back-to-back dispatches so
+    the tunnel's fluctuating D2H latency can't masquerade as device time,
+    transfers measured separately."""
+    from sculptmate_tpu.geometry import mt_wire
+    from sculptmate_tpu.geometry.marching_tets import lattice_size
+    from sculptmate_tpu.ops.density_grid import (
+        lattice_coords_tets,
+        query_grid_multihead,
+    )
+    from sculptmate_tpu.systems.sf3d import SF3D
+
+    print()
+    print("== sf3d stages (run_image path) ==")
+    sf3d = SF3D()
+    rngs = np.random.default_rng(0)
+    img = jnp.asarray(rngs.random((1, 512, 512, 4), np.float32))
+    mask, rgb = sf3d.prepare_image(img)
+
+    from sculptmate_tpu.models.camera import (
+        default_cond_c2w,
+        intrinsic_from_fov_deg,
+    )
+
+    c = sf3d.config
+    c2w = jnp.broadcast_to(jnp.asarray(default_cond_c2w(c.default_distance)), (1, 4, 4))
+    _, Kn = intrinsic_from_fov_deg(c.default_fovy_deg, c.cond_image_size, c.cond_image_size)
+    Kn = jnp.broadcast_to(jnp.asarray(Kn), (1, 3, 3))
+    codes, _ = sf3d.get_scene_codes(rgb)
+    _sync(codes)
+
+    roofline(
+        "stage encode 512^2 (DINOv2+2stream)",
+        sf3d._encode, sf3d.params, rgb, c2w, Kn,
+    )
+    roofline("stage clip estimator", sf3d._estimate, sf3d.params, rgb * mask)
+
+    # threshold like bench.py's calibration
+    heads = sf3d._head_weights(["density"])
+    g = query_grid_multihead(
+        codes[0], heads,
+        lattice_coords_tets(sf3d.config.isosurface_resolution),
+        sf3d.grid_spec(slab=7),
+    )
+    d = np.exp(np.asarray(g["density"][0]) - 1.0)
+    thr = float(np.quantile(d, 0.99))
+
+    # size capacities like a warm server, then time the device program alone
+    res = sf3d.config.isosurface_resolution
+    N = lattice_size(res)
+    mesh = sf3d.run_image(img, bake_resolution=512, threshold=thr)
+    assert mesh is not None
+    mv, bc = sf3d._cap_cache
+    weld = float(sf3d.config.weld_eps)
+    # analytic FLOPs: two 64-wide heads (2 hidden layers each), packed ->
+    # one 128-wide stream; first layer factorized over the 3 planes
+    flops = N**3 * 2 * (2 * 64 * 64 * 2 + 64 * 4 * 2) + 2 * 3 * N**2 * 40 * 64 * 2
+    roofline(
+        "stage tet query+MT wire (device)",
+        sf3d._extract_wire_jit,
+        codes[0], thr, mv, bc, weld,
+        flops=flops,
+    )
+
+    fut = sf3d._extract_wire_jit(codes[0], thr, mv, bc, weld)
+    jax.block_until_ready(fut)
+    nbytes = int(np.prod(fut.shape)) * fut.dtype.itemsize
+    t0 = time.perf_counter()
+    wire = np.asarray(fut)
+    t_fetch = time.perf_counter() - t0
+    nv = int(mt_wire.wire_counts(wire, mt_wire.N_WIRE_COUNTS)[0])
+    t0 = time.perf_counter()
+    lverts, faces, _ = mt_wire.decode_wire(wire, res, mv, weld=weld > 0)
+    t_dec = time.perf_counter() - t0
+    print(
+        f"{'stage MT wire D2H fetch (host)':36s} {t_fetch * 1e3:9.1f} ms "
+        f"{nbytes / 1e6:8.1f} MB {nbytes / t_fetch / 1e6:6.1f} MB/s  [latency]"
+    )
+    print(
+        f"{'stage native MT decode (host)':36s} {t_dec * 1e3:9.1f} ms "
+        f"{nv:8d} raw verts -> {len(lverts)} welded  [host core]"
+    )
+
+    verts = lverts * (2 * sf3d.config.radius) - sf3d.config.radius
+    from sculptmate_tpu.geometry.decimate import decimate
+
+    t0 = time.perf_counter()
+    dverts, dfaces, v_nrm = decimate(
+        verts, faces, target_ratio=0.75 * nv / len(verts),
+        return_normals=True,
+    )
+    t_decim = time.perf_counter() - t0
+    print(
+        f"{'stage quadric decimate (host)':36s} {t_decim * 1e3:9.1f} ms "
+        f"{len(faces):8d} -> {len(dfaces)} faces  [host core]"
+    )
+
+    # fused unwrap+bake: device-only (amortized), then the one D2H fetch
+    global_dict = dict(sf3d._estimate(sf3d.params, rgb * mask))
+    h = sf3d.unwrap_bake_async(
+        dverts, v_nrm, dfaces, codes[0], global_dict, 512
+    )
+    sf3d.unwrap_bake_wait(h)  # capacity shrink + compile the steady program
+    h = sf3d.unwrap_bake_async(
+        dverts, v_nrm, dfaces, codes[0], global_dict, 512
+    )
+    roofline(
+        "stage unwrap+bake 512^2 (device)",
+        sf3d._unwrap_bake_jit,
+        h.scene_code, h.packed_dev, h.nb, h.fb, h.res, h.island_padding,
+        h.caps,
+    )
+    fut = sf3d._unwrap_bake_jit(
+        h.scene_code, h.packed_dev, h.nb, h.fb, h.res, h.island_padding,
+        h.caps,
+    )
+    jax.block_until_ready(fut)
+    nbytes = int(np.prod(fut.shape)) * fut.dtype.itemsize
+    t0 = time.perf_counter()
+    np.asarray(fut)
+    t_fetch = time.perf_counter() - t0
+    print(
+        f"{'stage unwrap+bake D2H fetch (host)':36s} {t_fetch * 1e3:9.1f} ms "
+        f"{nbytes / 1e6:8.1f} MB {nbytes / t_fetch / 1e6:6.1f} MB/s  [latency]"
+    )
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    main(tuple(args) if args else ("micro", "lean", "sf3d"))

@@ -114,7 +114,12 @@ def _unwrap_core(
     """All per-face unwrap math on device. Inputs are padded/bucketed flat
     rows; n_verts/n_faces are the real (traced) counts. Returns
     (uv6 (6, F) uint16 — rows [u0, v0, u1, v1, u2, v2], one per corner
-    component — atlas_index (F,), counters).
+    component — atlas_index (F,), counters, angles (2, 6) f32 = per-slice
+    rotation cos/sin rows: with them (plus atlas_index) the HOST can rebuild
+    the per-corner UVs bit-comparably from the same quantized inputs
+    (``reconstruct_uvs_host``) — every other reduction in here is a
+    min/max/argmax (order-independent, so numpy reproduces it exactly);
+    only these two mean-of-tangents sums are accumulation-order-dependent.
 
     Everything per-face lives in flat (F,) SoA arrays (per-corner lists):
     an (F, 3) f32 array inherits a (8, 128)-tiled HBM layout — a 42x pad
@@ -385,12 +390,242 @@ def _unwrap_core(
     counters = jnp.stack(
         [fine1 + fine2, coarse1 + coarse2, jnp.maximum(nm1, nm2)]
     )
-    return uv6, atlas_index, counters
+    angles = jnp.stack([ca, sa]).astype(jnp.float32)  # (2, 6)
+    return uv6, atlas_index, counters, angles
 
 
 _unwrap_jit = jax.jit(
     _unwrap_core, static_argnums=(11, 12),
 )
+
+
+def _load_reconstruct():
+    """lib with ``reconstruct_uvs`` (native/uv_reconstruct.cpp), or None
+    (pure-numpy fallback below — the tested reference implementation)."""
+    from sculptmate_tpu.geometry.native import load_native
+
+    return load_native("uv_reconstruct")
+
+
+def reconstruct_uvs_host(
+    rp: np.ndarray,
+    rn: np.ndarray,
+    faces: np.ndarray,
+    atlas_index: np.ndarray,
+    ca6: np.ndarray,
+    sa6: np.ndarray,
+    island_padding: float,
+) -> np.ndarray:
+    """Rebuild the per-corner atlas UVs from the compact unwrap wire.
+
+    Numpy mirror of ``_unwrap_core``'s uv math (same op order, f32
+    throughout): the raster-derived visibility classes arrive as
+    ``atlas_index`` and the two order-dependent tangent-mean reductions as
+    ``ca6``/``sa6``; every other reduction is a min/max/argmax, which numpy
+    reproduces exactly from the same inputs. ``rp``/``rn`` must be the
+    DEQUANTIZED (Nv, 3) rotated positions/normals — bit-identical f32 values
+    to what the device program decoded from the u16 upload — so the
+    reconstruction lands within ~1 ulp-chain of the device's pre-quantized
+    uvs (far below both the wire's former u16 quantization step 1/65535 and
+    a 512^2 bake texel). Returns (F, 3, 2) float32.
+    """
+    rp = np.asarray(rp, np.float32)
+    rn = np.asarray(rn, np.float32)
+    faces = np.asarray(faces)
+    atlas_index = np.asarray(atlas_index, np.int32)
+    F = len(faces)
+    if F == 0:
+        return np.zeros((0, 3, 2), np.float32)
+
+    lib = _load_reconstruct()
+    if lib is not None:
+        import ctypes
+
+        out = np.empty((F, 3, 2), np.float32)
+        rp_c = np.ascontiguousarray(rp, np.float32)
+        rn_c = np.ascontiguousarray(rn, np.float32)
+        f_c = np.ascontiguousarray(faces, np.int32)
+        a_c = np.ascontiguousarray(atlas_index, np.uint8)
+        ca_c = np.ascontiguousarray(ca6, np.float32)
+        sa_c = np.ascontiguousarray(sa6, np.float32)
+        fp = ctypes.POINTER(ctypes.c_float)
+        lib.reconstruct_uvs(
+            rp_c.ctypes.data_as(fp),
+            rn_c.ctypes.data_as(fp),
+            f_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            a_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ca_c.ctypes.data_as(fp),
+            sa_c.ctypes.data_as(fp),
+            ctypes.c_int64(len(rp_c)),
+            ctypes.c_int64(F),
+            ctypes.c_float(island_padding),
+            out.ctypes.data_as(fp),
+        )
+        return out
+    return reconstruct_uvs_numpy(
+        rp, rn, faces, atlas_index, ca6, sa6, island_padding
+    )
+
+
+def reconstruct_uvs_numpy(
+    rp, rn, faces, atlas_index, ca6, sa6, island_padding
+):
+    """Pure-numpy reference for ``reconstruct_uvs_host`` (tests compare the
+    native kernel against this)."""
+    F = len(faces)
+    one = np.float32(1.0)
+    half = np.float32(0.5)
+
+    # -- box assignment (mirrors _unwrap_core) ---------------------------
+    bb_min = rp.min(axis=0)
+    bb_max = rp.max(axis=0)
+    rngs = np.maximum(bb_max - bb_min, np.float32(1e-12))
+    vp = np.float32(2.0) * (rp - bb_min) / rngs - one  # (Nv, 3)
+
+    tri = vp[faces]  # (F, 3corner, 3axis)
+    nrm_tri = rn[faces]
+    face_n = nrm_tri[:, 0] + nrm_tri[:, 1] + nrm_tri[:, 2]  # (F, 3)
+    fn_len = np.sqrt((face_n * face_n).sum(-1))
+    face_n = face_n / np.maximum(fn_len, np.float32(1e-6))[:, None]
+
+    scores = np.stack(
+        [
+            face_n[:, 0], -face_n[:, 0],
+            face_n[:, 1], -face_n[:, 1],
+            face_n[:, 2], -face_n[:, 2],
+        ]
+    )  # (6, F)
+    index = np.argmax(scores, axis=0).astype(np.int32)
+
+    rules = np.asarray(_FACE_RULES, np.int32)
+    ax_f = rules[index, 0]
+    ua_f = rules[index, 2]
+    us_f = rules[index, 3].astype(np.float32)
+    va_f = rules[index, 4]
+    vs_f = rules[index, 5].astype(np.float32)
+
+    ar = np.arange(F)
+
+    def pick(corner, axis_idx):
+        return tri[ar, corner, axis_idx]
+
+    mdd = [np.abs(pick(c, ax_f)).max() for c in range(3)]
+    uc = [
+        np.clip((us_f * pick(c, ua_f) / mdd[c] + one) * half, 0.0, 1.0)
+        for c in range(3)
+    ]
+    vc = [
+        np.clip((vs_f * pick(c, va_f) / mdd[c] + one) * half, 0.0, 1.0)
+        for c in range(3)
+    ]
+
+    # -- slice rotation with the device's shipped angles -----------------
+    idx6 = np.clip(index, 0, 5)
+    ca_f = np.asarray(ca6, np.float32)[idx6]
+    sa_f = np.asarray(sa6, np.float32)[idx6]
+    cu = [c * np.float32(2.0) - one for c in uc]
+    cv = [c * np.float32(2.0) - one for c in vc]
+    ru = [ca_f * cu[c] - sa_f * cv[c] for c in range(3)]
+    rv = [sa_f * cu[c] + ca_f * cv[c] for c in range(3)]
+
+    lo6, hi6 = [], []
+    for g in range(6):
+        m = index == g
+        vals = [np.where(m, c, np.float32(np.inf)) for c in ru + rv]
+        lo6.append(np.min([v.min() for v in vals]))
+        vals = [np.where(m, c, np.float32(-np.inf)) for c in ru + rv]
+        hi6.append(np.max([v.max() for v in vals]))
+    lo_f = np.asarray(lo6, np.float32)[idx6]
+    hi_f = np.asarray(hi6, np.float32)[idx6]
+    scale = np.maximum(hi_f - lo_f, np.float32(1e-12))
+    uc = [(ru[c] - lo_f) / scale for c in range(3)]
+    vc = [(rv[c] - lo_f) / scale for c in range(3)]
+
+    # -- placement (atlas_index from the wire) ---------------------------
+    off = np.float32(1.0 / 3.0)
+    dupl_off = np.float32(1.0 / 6.0)
+    x_vals = np.asarray([0, 1, 2, 0, 1, 2], np.float32)
+    y_vals = np.asarray([0, 0, 0, 1, 1, 1], np.float32)
+    block = atlas_index // 6
+    xv = x_vals[atlas_index % 6]
+    yv = y_vals[atlas_index % 6]
+    offset_x = np.where(
+        block == 0, off * xv,
+        dupl_off * xv + np.minimum(block - 1, 1).astype(np.float32) * np.float32(0.5),
+    ).astype(np.float32)
+    offset_y = np.where(block == 0, off * yv, dupl_off * yv + off * 2).astype(
+        np.float32
+    )
+    div_x = np.where(
+        atlas_index >= 12, 2.0, np.where(atlas_index >= 6, 6.0, 3.0)
+    ).astype(np.float32)
+    div_y = np.where(
+        atlas_index >= 12, 3.0, np.where(atlas_index >= 6, 6.0, 3.0)
+    ).astype(np.float32)
+
+    for i in range(6, 12):
+        m = atlas_index == i
+        any_m = m.any()
+        ulo = np.min([np.where(m, c, np.float32(np.inf)).min() for c in uc])
+        uhi = np.max([np.where(m, c, np.float32(-np.inf)).max() for c in uc])
+        vlo = np.min([np.where(m, c, np.float32(np.inf)).min() for c in vc])
+        vhi = np.max([np.where(m, c, np.float32(-np.inf)).max() for c in vc])
+        uc = [
+            np.where(
+                m & any_m, (c - ulo) / np.maximum(uhi - ulo, np.float32(0.5)), c
+            ).astype(np.float32)
+            for c in uc
+        ]
+        vc = [
+            np.where(
+                m & any_m, (c - vlo) / np.maximum(vhi - vlo, np.float32(0.5)), c
+            ).astype(np.float32)
+            for c in vc
+        ]
+    pad = np.float32(island_padding)
+    uc = [np.clip(c * (one - 2 * pad) + pad, 0.0, 1.0) for c in uc]
+    vc = [np.clip(c * (one - 2 * pad) + pad, 0.0, 1.0) for c in vc]
+
+    rem = atlas_index >= 12
+    n_rem = int(rem.sum())
+    ratio = 0.5 * (1.0 / 3.0)
+    mult = np.sqrt(np.float32(max(n_rem, 1)) / np.float32(ratio))
+    nw = max(int(np.ceil(np.float32(0.5) * mult)), 1)
+    nh = max(-(-n_rem // nw), 1)
+    width = np.float32(1.0) / np.float32(nw)
+    height = np.float32(1.0) / np.float32(nh)
+    clip_val = np.minimum(width, height) * np.float32(1.5)
+
+    ulo = np.minimum(np.minimum(uc[0], uc[1]), uc[2])
+    uhi = np.maximum(np.maximum(uc[0], uc[1]), uc[2])
+    vlo = np.minimum(np.minimum(vc[0], vc[1]), vc[2])
+    vhi = np.maximum(np.maximum(vc[0], vc[1]), vc[2])
+    nwf = np.float32(nw)
+    nhf = np.float32(nh)
+    ids = (np.cumsum(rem.astype(np.int32)) - 1).astype(np.float32)
+    col = (ids % nwf) * width
+    row = np.floor(ids / nwf) * height
+
+    def place(c, lo, hi, cval, nf_, w, cell_off):
+        r = (c - lo) / np.maximum(hi - lo, cval)
+        r = np.clip(r * (one - pad * nf_ * half) + pad * nf_ * np.float32(0.25), 0.0, 1.0)
+        r = r * w + cell_off
+        return np.clip(r * (one - pad) + pad * half, 0.0, 1.0)
+
+    uc = [
+        np.where(rem, place(c, ulo, uhi, clip_val, nwf, width, col), c)
+        for c in uc
+    ]
+    vc = [
+        np.where(rem, place(c, vlo, vhi, clip_val, nhf, height, row), c)
+        for c in vc
+    ]
+
+    out = np.empty((F, 3, 2), np.float32)
+    for c in range(3):
+        out[:, c, 0] = uc[c] / div_x + offset_x
+        out[:, c, 1] = vc[c] / div_y + offset_y
+    return out
 
 
 def _bucket(n: int, lo: int = 4096) -> int:
@@ -440,7 +675,7 @@ def unwrap_device(
     multi_cap = default_multi_capacity(pair_cap)
 
     while True:
-        uv_q, atlas_index, counters = _unwrap_jit(
+        uv_q, atlas_index, counters, _angles = _unwrap_jit(
             *(jnp.asarray(pos[c]) for c in range(3)),
             *(jnp.asarray(nrm[c]) for c in range(3)),
             jnp.asarray(fcomp[0]), jnp.asarray(fcomp[1]), jnp.asarray(fcomp[2]),

@@ -74,6 +74,58 @@ def _run_hidden(h, weights, act, compute_dtype):
     return h @ W.astype(compute_dtype) + b.astype(compute_dtype)
 
 
+def _blockdiag(mats: List[jnp.ndarray]) -> jnp.ndarray:
+    """Stack matrices on the diagonal: [(m_i, n_i)] -> (sum m, sum n)."""
+    rows = []
+    n_total = sum(m.shape[1] for m in mats)
+    col = 0
+    for m in mats:
+        left = jnp.zeros((m.shape[0], col), m.dtype)
+        right = jnp.zeros((m.shape[0], n_total - col - m.shape[1]), m.dtype)
+        rows.append(jnp.concatenate([left, m, right], axis=1))
+        col += m.shape[1]
+    return jnp.concatenate(rows, axis=0)
+
+
+def _pack_weights(weight_lists: List[List[Tuple[jnp.ndarray, jnp.ndarray]]]):
+    """Pack N equal-depth MLPs into ONE whose hidden/output layers are
+    block-diagonal and whose first layer is a plain column concat.
+
+    Why: the 64-neuron NeRF/Material MLPs drive at most (64/128)^2 = 25% of
+    the 128x128 MXU (measured 25.5% on v5e — the roofline's "shape
+    ceiling"). Running two independent 64-wide streams through one 128-wide
+    block-diagonal matmul fills the array: half the MACs multiply structural
+    zeros, but the tile issues at full rate, so useful throughput doubles
+    (~50% MFU ceiling). The first layer concatenates along the OUTPUT axis
+    only (all streams read the same input features), which is dense — no
+    waste there. Activations are elementwise, so channels never mix across
+    the diagonal blocks and the packed MLP is bit-identical in f32 (same
+    adds/mults, plus additions of exact zeros).
+
+    Returns (packed [(W, b)] list, [(out_offset, out_width)] per input MLP).
+    Callers slice the packed output back apart. All lists must share depth;
+    widths may differ per layer.
+    """
+    depth = len(weight_lists[0])
+    assert all(len(w) == depth for w in weight_lists)
+    packed = []
+    for layer in range(depth):
+        Ws = [w[layer][0] for w in weight_lists]
+        bs = [w[layer][1] for w in weight_lists]
+        if layer == 0:
+            W = jnp.concatenate(Ws, axis=1)
+        else:
+            W = _blockdiag(Ws)
+        packed.append((W, jnp.concatenate(bs)))
+    offs = []
+    off = 0
+    for w in weight_lists:
+        k = w[-1][0].shape[1]
+        offs.append((off, k))
+        off += k
+    return packed, offs
+
+
 def query_density_grid(
     triplane: jnp.ndarray,
     weights: List[Tuple[jnp.ndarray, jnp.ndarray]],
@@ -115,23 +167,52 @@ def query_density_grid(
 
     slab = spec.slab
     assert R % slab == 0, f"resolution {R} must be divisible by slab {slab}"
-    Bm = Bm.reshape(R // slab, slab, RX, -1)
-    Cm = Cm.reshape(R // slab, slab, R, -1)
+    nslab = R // slab
+    K = weights[-1][0].shape[1]
 
-    def do_slab(args):
-        b_s, c_s = args  # (slab, RX, 64) / (slab, R, 64)
-        # h1[i, j, z] = A[i, j] + b_s[z, i] + c_s[z, j]
-        h = (
-            A[None, :, :, :]
-            + b_s[:, :, None, :]
-            + c_s[:, None, :, :]
-        )  # (slab, R_i, R_j, 64)
-        h = act(h)
-        out = _run_hidden(h, weights, act, cd)  # (slab, R, R, 4)
-        return out[..., 0].astype(jnp.float32)  # density channel
+    if nslab % 2 == 0 and len(weights) >= 3:
+        # MXU shape-ceiling fix: run TWO z-slabs as one 128-wide stream
+        # through block-diagonal hidden/output layers (see _pack_weights) —
+        # the 64-wide MLP alone caps at 25% MXU; packed pairs reach ~50%.
+        H = A.shape[-1]
+        packed, _ = _pack_weights([weights, weights])
+        A2 = jnp.concatenate([A, A], axis=-1)  # z-independent term
+        pair = lambda M, n: (
+            M.reshape(nslab // 2, 2, slab, n, H)
+            .transpose(0, 2, 3, 1, 4)
+            .reshape(nslab // 2, slab, n, 2 * H)
+        )
+        Bp, Cp = pair(Bm, RX), pair(Cm, R)
 
-    dens = jax.lax.map(do_slab, (Bm, Cm))  # (R//slab, slab, R_i, R_j)
-    dens = dens.reshape(R, RX, R)  # [z, x, y]
+        def do_pair(args):
+            b_s, c_s = args  # (slab, RX, 128) / (slab, R, 128)
+            h = act(A2[None] + b_s[:, :, None, :] + c_s[:, None, :, :])
+            out = _run_hidden(h, packed, act, cd)  # (slab, RX, R, 2K)
+            return (
+                out[..., 0].astype(jnp.float32),
+                out[..., K].astype(jnp.float32),
+            )
+
+        d0, d1 = jax.lax.map(do_pair, (Bp, Cp))
+        dens = jnp.stack([d0, d1], axis=1).reshape(R, RX, R)  # [z, x, y]
+    else:
+        Bm = Bm.reshape(nslab, slab, RX, -1)
+        Cm = Cm.reshape(nslab, slab, R, -1)
+
+        def do_slab(args):
+            b_s, c_s = args  # (slab, RX, 64) / (slab, R, 64)
+            # h1[i, j, z] = A[i, j] + b_s[z, i] + c_s[z, j]
+            h = (
+                A[None, :, :, :]
+                + b_s[:, :, None, :]
+                + c_s[:, None, :, :]
+            )  # (slab, R_i, R_j, 64)
+            h = act(h)
+            out = _run_hidden(h, weights, act, cd)  # (slab, R, R, 4)
+            return out[..., 0].astype(jnp.float32)  # density channel
+
+        dens = jax.lax.map(do_slab, (Bm, Cm))  # (R//slab, slab, R_i, R_j)
+        dens = dens.reshape(R, RX, R)  # [z, x, y]
     dens = jnp.transpose(dens, (1, 2, 0))  # [x, y, z]
     return density_act(dens + spec.density_bias)
 
@@ -168,6 +249,37 @@ def query_grid_multihead(
 
     slab = spec.slab
     assert R % slab == 0, f"lattice size {R} not divisible by slab {slab}"
+
+    names = list(head_weights)
+    depths = {len(w) for w in head_weights.values()}
+    if len(names) >= 2 and len(depths) == 1 and next(iter(depths)) >= 3:
+        # equal-depth heads (extraction: density+vertex_offset, both 2
+        # hidden; bake: features+perturb_normal, both 3) run as ONE packed
+        # MLP: first layer is a dense output-axis concat, hidden/output
+        # layers block-diagonal — two 64-wide heads fill the 128-lane MXU
+        # (2x the 25% shape ceiling, see _pack_weights) and the plane
+        # einsums + slab broadcasts are built once instead of per head.
+        packed, offs = _pack_weights([head_weights[n] for n in names])
+        W1, b1 = packed[0]
+        A = jnp.einsum("cji,cn->ijn", Fxy.astype(cd), W1[:C].astype(cd)) + b1.astype(cd)
+        Bm = jnp.einsum("cki,cn->kin", Fxz.astype(cd), W1[C : 2 * C].astype(cd))
+        Cm = jnp.einsum("ckj,cn->kjn", Fyz.astype(cd), W1[2 * C :].astype(cd))
+        Bm = Bm.reshape(R // slab, slab, R, -1)
+        Cm = Cm.reshape(R // slab, slab, R, -1)
+
+        def do_slab_packed(args):
+            b_s, c_s = args
+            h = act(A[None] + b_s[:, :, None, :] + c_s[:, None, :, :])
+            return _run_hidden(h, packed, act, cd).astype(jnp.float32)
+
+        arr = jax.lax.map(do_slab_packed, (Bm, Cm))  # (R//slab, slab, Ri, Rj, Ksum)
+        Ksum = arr.shape[-1]
+        arr = arr.reshape(R, R, R, Ksum)
+        arr = jnp.transpose(arr, (1, 2, 0, 3))  # (x, y, z, Ksum)
+        return {
+            name: [arr[..., off + k].ravel() for k in range(kw)]
+            for name, (off, kw) in zip(names, offs)
+        }
 
     partials = {}
     for name, weights in head_weights.items():
@@ -222,6 +334,20 @@ def query_points_multihead(
     feats = sample_triplane(
         triplane.astype(cd), px / r, py / r, pz / r, spec.align_corners
     ).astype(cd)  # (3C, N)
+    names = list(head_weights)
+    depths = {len(w) for w in head_weights.values()}
+    if len(names) >= 2 and len(depths) == 1:
+        # equal-depth heads as one packed MLP (128-wide hidden layers fill
+        # the MXU instead of two 25%-ceiling 64-wide streams; _pack_weights)
+        packed, offs = _pack_weights([head_weights[n] for n in names])
+        h = feats
+        for W, b in packed[:-1]:
+            h = act(W.astype(cd).T @ h + b.astype(cd)[:, None])
+        W, b = packed[-1]
+        o = (W.astype(cd).T @ h + b.astype(cd)[:, None]).astype(jnp.float32)
+        return {
+            name: o[off : off + kw] for name, (off, kw) in zip(names, offs)
+        }
     out = {}
     for name, weights in head_weights.items():
         h = feats

@@ -240,6 +240,13 @@ class _UnwrapBakeHandle:
     first_success_shrinks: bool
     ub_key: Tuple[int, int]
     ub_pkey: str
+    # host-side copies for the UV reconstruction (the wire ships only the
+    # 1 B/face atlas_index + 12 rotation angles; the host rebuilds the
+    # per-corner uvs from the same quantized inputs it uploaded)
+    host_attrs: Any = None  # (6, nb) uint16
+    host_bb: Any = None  # (bb_min (3,), bb_max (3,)) of the rotated verts
+    host_faces: Any = None  # (F, 3) int
+    nv: int = 0
 
 
 class SF3D:
@@ -773,13 +780,16 @@ class SF3D:
         bake_pair2) static capacities.
 
         Output wire (uint8): [albedo u8 3*res^2][bump u8 3*res^2]
-        [uv lo-bytes (6, Fb) component-major][uv hi-bytes (6, Fb)]
-        [counters u32 x6][rm u16 x2] — uv ships as two FLAT byte planes in
-        row order [u0, v0, u1, v1, u2, v2] (the host recombines lo|hi<<8 and
-        transposes to (F, 3, 2)): an interleaved (F, 3, 2, 2) u8 stack would
-        inherit a T(4,128)-tiled HBM layout padding its (2, 2) minor dims
-        128x (38.7 GB at a 25M-face retry capacity). Bump is dithered
-        on device over covered texels (``float32_to_uint8`` semantics with a
+        [atlas_index u8 (Fb,)][angles f32 x12 as 48 B][counters u32 x6]
+        [rm u16 x2] — the per-corner UVs do NOT cross the link at all (they
+        were 12 B/face, ~9.4 MB at 786K faces — the largest section of the
+        old wire on a 14-115 MB/s link): the host rebuilds them bit-
+        comparably from the SAME dequantized u16 inputs it uploaded, the
+        1 B/face atlas_index (raster-derived visibility classes) and the 12
+        per-slice rotation angles (the only accumulation-order-dependent
+        reductions in the unwrap) via
+        ``uv_unwrap_device.reconstruct_uvs_host``. Bump is dithered on
+        device over covered texels (``float32_to_uint8`` semantics with a
         counter-based uniform noise).
         """
         from sculptmate_tpu.geometry.uv_unwrap_device import _unwrap_core
@@ -813,10 +823,10 @@ class SF3D:
             for c in range(3)
         ]
 
-        uv6, _atlas, unwrap_counters = _unwrap_core(
+        uv6, atlas_index, unwrap_counters, angles = _unwrap_core(
             rp[0], rp[1], rp[2], nrm[0], nrm[1], nrm[2], fa, fb, fc,
             n_verts, n_faces, island_padding, caps[:3],
-        )  # (6, Fb) uint16 rows [u0, v0, u1, v1, u2, v2]
+        )  # (6, Fb) uint16 rows [u0, v0, u1, v1, u2, v2] (device-local)
 
         # world positions for the material query: world = rotated @ rot
         rp_cf = jnp.stack(rp)  # (3, Nv) rotated
@@ -841,10 +851,13 @@ class SF3D:
         bump_d = jnp.clip(bump_img + noise * mask[None, :, :], 0.0, 1.0)
         bump_u8 = jnp.clip(bump_d * 255.0 + 0.5, 0.0, 255.0).astype(jnp.uint8)
 
-        uvq_flat = uv6.reshape(-1)  # (6 Fb,) u16, component-major
-        uv_lo = (uvq_flat & jnp.uint16(0xFF)).astype(jnp.uint8)
-        uv_hi = (uvq_flat >> jnp.uint16(8)).astype(jnp.uint8)
-        uv_bytes = jnp.concatenate([uv_lo, uv_hi])  # two flat byte planes
+        atlas_u8 = jnp.clip(atlas_index, 0, 255).astype(jnp.uint8)  # (Fb,)
+        ang_u32 = jax.lax.bitcast_convert_type(
+            angles.reshape(-1), jnp.uint32
+        )  # (12,)
+        ang_bytes = jnp.stack(
+            [(ang_u32 >> (8 * b)) & 0xFF for b in range(4)], axis=1
+        ).reshape(-1).astype(jnp.uint8)  # (48,)
 
         counters = jnp.concatenate(
             [unwrap_counters, bake_counters]
@@ -861,7 +874,8 @@ class SF3D:
             [
                 albedo_u8.reshape(-1),
                 bump_u8.reshape(-1),
-                uv_bytes,
+                atlas_u8,
+                ang_bytes,
                 count_bytes,
                 rm_bytes,
             ]
@@ -1036,6 +1050,10 @@ class SF3D:
             first_success_shrinks=first_success_shrinks,
             ub_key=ub_key,
             ub_pkey=ub_pkey,
+            host_attrs=attrs,
+            host_bb=(bb_min.astype(np.float32), bb_max.astype(np.float32)),
+            host_faces=faces,
+            nv=nv,
         )
 
     def unwrap_bake_wait(self, handle):
@@ -1137,13 +1155,33 @@ class SF3D:
         n_img = 3 * res * res
         albedo_u8 = wire[:n_img].reshape(3, res, res).transpose(1, 2, 0)
         bump_u8 = wire[n_img : 2 * n_img].reshape(3, res, res).transpose(1, 2, 0)
-        uv_sec = wire[2 * n_img : 2 * n_img + 12 * fb_]
-        # [lo planes (6, Fb)][hi planes (6, Fb)], rows [u0,v0,u1,v1,u2,v2]
-        uv16 = (
-            uv_sec[: 6 * fb_].astype(np.uint16)
-            | (uv_sec[6 * fb_ :].astype(np.uint16) << np.uint16(8))
-        ).reshape(3, 2, fb_).transpose(2, 0, 1)[:nf]
-        uv_flat = uv16.astype(np.float32) / 65535.0  # (F, 3, 2)
+        atlas_index = wire[2 * n_img : 2 * n_img + fb_][: nf].astype(np.int32)
+        ang_sec = wire[2 * n_img + fb_ : 2 * n_img + fb_ + 48]
+        # 12 f32 little-endian: rows [ca(6), sa(6)] of the (2, 6) angles
+        angles = np.frombuffer(ang_sec.astype(np.uint8).tobytes(), dtype="<f4")
+        # host UV reconstruction from the SAME dequantized inputs the device
+        # decoded (bit-identical f32), the atlas classes and the angles
+        from sculptmate_tpu.geometry.uv_unwrap_device import (
+            reconstruct_uvs_host,
+        )
+
+        attrs = handle.host_attrs
+        bb_min, bb_max = handle.host_bb
+        nv = handle.nv
+        scale = (bb_max - bb_min) / np.float32(65535.0)
+        rp = (
+            attrs[0:3, :nv].astype(np.float32) * scale[:, None]
+            + bb_min[:, None]
+        ).T
+        rn = (
+            attrs[3:6, :nv].astype(np.float32) / np.float32(65535.0)
+            * np.float32(2.0)
+            - np.float32(1.0)
+        ).T
+        uv_flat = reconstruct_uvs_host(
+            rp, rn, handle.host_faces, atlas_index,
+            angles[:6], angles[6:], handle.island_padding,
+        )  # (F, 3, 2) f32
         rm_b = tail[24:28].astype(np.uint32)
         roughness = float((rm_b[0] | (rm_b[1] << np.uint32(8))) / 65535.0)
         metallic = float((rm_b[2] | (rm_b[3] << np.uint32(8))) / 65535.0)

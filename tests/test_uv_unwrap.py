@@ -86,3 +86,101 @@ def test_device_unwrap_matches_host_semantics():
     # overlap raster; islands must still match for the bulk of corners
     assert np.median(d) < 5e-3
     assert (d.max(axis=1) < 0.05).mean() > 0.8
+
+
+def test_host_uv_reconstruction_matches_device():
+    """The SF3D bake wire ships only atlas_index (1 B/face) + the 12
+    per-slice rotation angles; the host rebuilds the per-corner UVs
+    (``reconstruct_uvs_host``) from the same dequantized inputs. Against the
+    device's own uv6 (u16) the reconstruction must agree to within the u16
+    quantization step — it replaces a 12 B/face D2H section bit-comparably."""
+    from sculptmate_tpu.geometry.uv_unwrap_device import (
+        _unwrap_jit,
+        default_multi_capacity,
+        default_pair2_capacity,
+        RASTER_RES,
+        reconstruct_uvs_host,
+    )
+
+    mesh = _sphere(16)
+    v_pos, v_nrm, faces = mesh.v_pos, mesh.v_nrm, mesh.t_pos_idx
+    nv, nf = len(v_pos), len(faces)
+
+    # quantize/dequantize exactly like SF3D.unwrap_bake_async/_unwrap_bake_jit
+    bb_min = v_pos.min(0).astype(np.float32)
+    bb_max = v_pos.max(0).astype(np.float32)
+    rng_ = np.maximum(bb_max - bb_min, 1e-12).astype(np.float32)
+    q_pos = np.round((v_pos - bb_min) / rng_ * 65535.0).astype(np.uint16)
+    q_nrm = np.round((np.clip(v_nrm, -1, 1) + 1.0) * 0.5 * 65535.0).astype(
+        np.uint16
+    )
+    scale = ((bb_max - bb_min) / np.float32(65535.0)).astype(np.float32)
+    rp = (q_pos.astype(np.float32) * scale + bb_min).astype(np.float32)
+    rn = (
+        q_nrm.astype(np.float32) / np.float32(65535.0) * np.float32(2.0)
+        - np.float32(1.0)
+    )
+
+    pair_cap = 1 << 16
+    caps = (
+        pair_cap,
+        default_pair2_capacity(RASTER_RES),
+        default_multi_capacity(pair_cap),
+    )
+    pad = 0.02
+    uv6, atlas_index, counters, angles = _unwrap_jit(
+        *(jnp.asarray(rp.T[c]) for c in range(3)),
+        *(jnp.asarray(rn.T[c]) for c in range(3)),
+        jnp.asarray(faces.T[0].astype(np.int32)),
+        jnp.asarray(faces.T[1].astype(np.int32)),
+        jnp.asarray(faces.T[2].astype(np.int32)),
+        nv, nf, pad, caps,
+    )
+    fine, coarse, nmulti = (int(x) for x in np.asarray(counters))
+    assert fine <= caps[0] and coarse <= caps[1] and nmulti <= caps[2]
+
+    uv_dev = (
+        np.asarray(uv6).T.reshape(-1, 3, 2)[:nf].astype(np.float32) / 65535.0
+    )
+    ang = np.asarray(angles)
+    uv_host = reconstruct_uvs_host(
+        rp, rn, faces, np.asarray(atlas_index)[:nf], ang[0], ang[1], pad
+    )
+    assert uv_host.shape == (nf, 3, 2)
+    assert uv_host.min() >= 0.0 and uv_host.max() <= 1.0
+    # device values are u16-rounded; the reconstruction is the pre-quantized
+    # float — agreement must be within one quantization step (plus fp noise,
+    # far below a bake texel)
+    d = np.abs(uv_host - uv_dev)
+    assert d.max() < 3e-4, d.max()
+
+
+def test_native_uv_reconstruction_matches_numpy():
+    """The C++ reconstruction kernel must agree with the numpy reference to
+    fp ulps on a mesh exercising all three atlas classes (main slices,
+    overlap slices, individual squares)."""
+    from sculptmate_tpu.geometry.native import load_native
+    from sculptmate_tpu.geometry.uv_unwrap_device import (
+        reconstruct_uvs_host,
+        reconstruct_uvs_numpy,
+    )
+
+    if load_native("uv_reconstruct") is None:
+        pytest.skip("native toolchain unavailable")
+
+    rng = np.random.default_rng(7)
+    mesh = _sphere(16)
+    rp = mesh.v_pos.astype(np.float32)
+    rn = mesh.v_nrm.astype(np.float32)
+    faces = mesh.t_pos_idx.astype(np.int32)
+    nf = len(faces)
+    # synthetic atlas classes covering 0..12 (incl. empty overlap slices)
+    atlas = (rng.integers(0, 13, nf)).astype(np.int32)
+    ang = rng.uniform(-0.2, 0.2, 6).astype(np.float32)
+    ca6 = np.cos(ang).astype(np.float32)
+    sa6 = np.sin(ang).astype(np.float32)
+
+    got = reconstruct_uvs_host(rp, rn, faces, atlas, ca6, sa6, 0.02)
+    ref = reconstruct_uvs_numpy(rp, rn, faces, atlas, ca6, sa6, 0.02)
+    np.testing.assert_allclose(got, ref, atol=2e-6)
+    assert got.min() >= 0.0 and got.max() <= 1.0
