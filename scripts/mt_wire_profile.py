@@ -143,10 +143,10 @@ def main():
     srcb = jnp.arange(BC, dtype=jnp.int32) * 512
 
     timeit(
-        "scatter_compact_rows (hybrid)",
+        "scatter_compact_rows (hybrid, k=32)",
         jax.jit(
             lambda g, vb, sb: scatter_compact_rows(
-                g, vb, sb, local_off, MV, 7 * N3P
+                g, vb, sb, local_off, MV, 7 * N3P, k=32
             ).sum()
         ),
         gmask, vrow, srcb,
@@ -161,7 +161,7 @@ def main():
     dzp = jnp.asarray(rng.standard_normal(N3P).astype(np.float32))
 
     timeit(
-        "_mt_positions (8 element gathers of MV)",
+        "_mt_positions (full-grid + stacked take)",
         jax.jit(
             lambda s, a, b, c, e: sum(
                 x.sum()

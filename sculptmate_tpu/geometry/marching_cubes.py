@@ -341,6 +341,7 @@ def scatter_compact_rows(
     local_off: jnp.ndarray,
     max_verts: int,
     domain: int,
+    k: int = 64,
 ):
     """(A, 512) gathered cut-mask rows -> (max_verts,) compacted flat edge
     ids (fill = ``domain`` for empty slots), vertices numbered block-major:
@@ -369,7 +370,9 @@ def scatter_compact_rows(
     within = jnp.cumsum(gm_i, axis=1) - gm_i
     cnt = within[:, -1] + gm_i[:, -1]  # (A,) cut edges per block row
     sink = max_verts
-    K = 64  # per-row compaction width (noise surfaces avg ~9 cuts/block)
+    # per-row compaction width (MC noise surfaces avg ~9 cuts/block row;
+    # MT rows — one edge class each — avg ~5.5 and pass k=32)
+    K = k
     O_CAP = max(256, A // 8)
 
     def scatter_direct(_):

@@ -220,45 +220,62 @@ def _mt_positions(sdf_flat, dxp, dyp, dzp, edge_idx, resolution, Np, snap_eps):
     """(max_verts,) compacted flat edge ids (class * n3p + anchor) ->
     deformed, sdf-interpolated vertex positions. Shared position tail of
     ``_mt_vertex_side`` (z-order ids) and ``_mt_vertex_side_wire``
-    (block-major ids) — the id ORDER differs, the per-edge math does not."""
+    (block-major ids) — the id ORDER differs, the per-edge math does not.
+
+    The positions are computed FULL-GRID per edge class (pure bandwidth:
+    ~21 shifted elementwise passes over the padded grid, a few ms) and then
+    fetched with ONE row-stacked (3, 7 n3p) take at the compacted ids —
+    element gathers run at ~40 M elem/s on v5e, so the previous per-edge
+    formulation (8 gathers x max_verts: s0/s1 + 3 deform components x 2
+    endpoints) cost ~72 ms at the SF3D capacity; the stacked take is ~3x a
+    single gather. Rolls wrap at the padded far boundary, which is never a
+    valid edge anchor (the cut-mask domain test excludes the last N-d rows,
+    and the pad is >= 1), so wrap-around values only reach masked slots."""
     n3p = Np * Np * Np
     valid_v = edge_idx < 7 * n3p
     safe = jnp.where(valid_v, edge_idx, 0)
-    dcls = safe // n3p
-    lin = safe % n3p
-
-    dir_step = jnp.asarray(
-        (EDGE_DIRS[:, 0] * Np + EDGE_DIRS[:, 1]) * Np + EDGE_DIRS[:, 2], jnp.int32
-    )
-    lin2 = jnp.minimum(lin + dir_step[dcls], n3p - 1)
-
-    s0 = sdf_flat[lin]
-    s1 = sdf_flat[lin2]
-    denom = s0 - s1
-    t = s0 / jnp.where(denom == 0, 1.0, denom)
-    t = jnp.clip(t, 0.0, 1.0)
-    # snap_eps may be a TRACED scalar: 0.0 is an exact no-op (t is clipped to
-    # [0, 1], so t < 0 and t > 1 never hold) — one compiled program serves
-    # every eps
-    t = jnp.where(t < snap_eps, 0.0, jnp.where(t > 1.0 - snap_eps, 1.0, t))
 
     inv_res = 1.0 / resolution
-
-    def pos(l, comp):
+    s3 = sdf_flat.reshape(Np, Np, Np)
+    ax = jnp.arange(Np, dtype=jnp.float32) * inv_res
+    p0 = []
+    for comp, d in ((0, dxp), (1, dyp), (2, dzp)):
         if comp == 0:
-            base = (l // (Np * Np)).astype(jnp.float32) * inv_res
-            d = dxp
+            base = ax[:, None, None]
         elif comp == 1:
-            base = ((l // Np) % Np).astype(jnp.float32) * inv_res
-            d = dyp
+            base = ax[None, :, None]
         else:
-            base = (l % Np).astype(jnp.float32) * inv_res
-            d = dzp
-        return base + d[l] if d is not None else base
+            base = ax[None, None, :]
+        b3 = jnp.broadcast_to(base, (Np, Np, Np))
+        p0.append(b3 + d.reshape(Np, Np, Np) if d is not None else b3)
 
-    vx = jnp.where(valid_v, pos(lin, 0) + t * (pos(lin2, 0) - pos(lin, 0)), 0.0)
-    vy = jnp.where(valid_v, pos(lin, 1) + t * (pos(lin2, 1) - pos(lin, 1)), 0.0)
-    vz = jnp.where(valid_v, pos(lin, 2) + t * (pos(lin2, 2) - pos(lin, 2)), 0.0)
+    per_class = []  # [class][component] (Np, Np, Np)
+    for dcls in range(7):
+        ddx, ddy, ddz = (int(v) for v in EDGE_DIRS[dcls])
+        sh = (-ddx, -ddy, -ddz)
+        s1 = jnp.roll(s3, sh, (0, 1, 2))
+        denom = s3 - s1
+        t = jnp.clip(s3 / jnp.where(denom == 0, 1.0, denom), 0.0, 1.0)
+        # snap_eps may be a TRACED scalar: 0.0 is an exact no-op (t is
+        # clipped to [0, 1], so t < 0 and t > 1 never hold) — one compiled
+        # program serves every eps
+        t = jnp.where(
+            t < snap_eps, 0.0, jnp.where(t > 1.0 - snap_eps, 1.0, t)
+        )
+        per_class.append(
+            [c + t * (jnp.roll(c, sh, (0, 1, 2)) - c) for c in p0]
+        )
+
+    V = jnp.stack(
+        [
+            jnp.concatenate([per_class[d][c].ravel() for d in range(7)])
+            for c in range(3)
+        ]
+    )  # (3, 7 n3p)
+    vs = jnp.take(V, safe, axis=1)  # ONE stacked take
+    vx = jnp.where(valid_v, vs[0], 0.0)
+    vy = jnp.where(valid_v, vs[1], 0.0)
+    vz = jnp.where(valid_v, vs[2], 0.0)
     return vx, vy, vz, valid_v
 
 
@@ -352,9 +369,14 @@ def _mt_vertex_side_wire(
 
     mask_b = jnp.concatenate([to_blocked(m) for m in masks], axis=0)
     gmask = mask_b[vb_safe] & vblk_valid[:, None]  # (A, 512)
+    # k=32: MT block rows average ~5.5 cuts (one EDGE CLASS per row, vs the
+    # MC rows' ~9) — halving the per-row compaction width halves both the
+    # one-hot contraction traffic and the (A, K) scatter's update slots,
+    # the two largest terms of the extraction program; >32-cut rows flow
+    # through the overflow tail / direct fallback exactly as before
     edge_idx = scatter_compact_rows(
         gmask, vbase[vb_safe], vb_cls * n3p + vb_base, local_off,
-        max_verts, 7 * n3p,
+        max_verts, 7 * n3p, k=32,
     )
 
     vx, vy, vz, valid_v = _mt_positions(

@@ -170,10 +170,15 @@ def query_density_grid(
     nslab = R // slab
     K = weights[-1][0].shape[1]
 
-    if nslab % 2 == 0 and len(weights) >= 3:
+    if slab % 2 == 0 and len(weights) >= 3:
         # MXU shape-ceiling fix: run TWO z-slabs as one 128-wide stream
         # through block-diagonal hidden/output layers (see _pack_weights) —
         # the 64-wide MLP alone caps at 25% MXU; packed pairs reach ~50%.
+        # The paired slab is HALVED so the per-map-step activation tensor
+        # keeps the unpaired footprint (a full-width (slab, R, R, 128)
+        # intermediate spills VMEM and turned the win into a 35% loss).
+        slab = slab // 2
+        nslab = R // slab
         H = A.shape[-1]
         packed, _ = _pack_weights([weights, weights])
         A2 = jnp.concatenate([A, A], axis=-1)  # z-independent term
