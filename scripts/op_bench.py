@@ -354,9 +354,8 @@ def sf3d_breakdown(rng):
     from sculptmate_tpu.geometry.decimate import decimate
 
     t0 = time.perf_counter()
-    dverts, dfaces, v_nrm = decimate(
-        verts, faces, target_ratio=0.75 * nv / len(verts),
-        return_normals=True,
+    dverts, dfaces = decimate(
+        verts, faces, target_ratio=0.75 * nv / len(verts)
     )
     t_decim = time.perf_counter() - t0
     print(
@@ -367,11 +366,11 @@ def sf3d_breakdown(rng):
     # fused unwrap+bake: device-only (amortized), then the one D2H fetch
     global_dict = dict(sf3d._estimate(sf3d.params, rgb * mask))
     h = sf3d.unwrap_bake_async(
-        dverts, v_nrm, dfaces, codes[0], global_dict, 512
+        dverts, dfaces, codes[0], global_dict, 512
     )
     sf3d.unwrap_bake_wait(h)  # capacity shrink + compile the steady program
     h = sf3d.unwrap_bake_async(
-        dverts, v_nrm, dfaces, codes[0], global_dict, 512
+        dverts, dfaces, codes[0], global_dict, 512
     )
     roofline(
         "stage unwrap+bake 512^2 (device)",

@@ -73,23 +73,22 @@ def main():
     lverts, faces, _ = mt_wire.decode_wire(wire, res, max_verts, weld=True)
     verts = lverts * (2 * c.radius) - c.radius
     vertex_count = round(0.75 * nvr)
-    verts, faces, v_nrm = decimate(
-        verts, faces, target_ratio=vertex_count / len(verts), return_normals=True
+    verts, faces = decimate(
+        verts, faces, target_ratio=vertex_count / len(verts)
     )
     mesh = Mesh(verts, faces.astype(np.int64))
-    mesh._v_nrm = v_nrm
     log(f"mesh: {len(mesh.v_pos)} verts, {len(mesh.t_pos_idx)} faces")
 
     # warm call populates _ub_caps + compiles
     t0 = time.perf_counter()
     uv_flat, textures = sf3d.unwrap_bake(
-        mesh.v_pos, mesh.v_nrm, mesh.t_pos_idx, codes[0], global_dict, 512
+        mesh.v_pos, mesh.t_pos_idx, codes[0], global_dict, 512
     )
     log(f"warm unwrap_bake: {time.perf_counter()-t0:.1f}s")
     # second warm call so the shrunk-capacity program is compiled too
     t0 = time.perf_counter()
     sf3d.unwrap_bake(
-        mesh.v_pos, mesh.v_nrm, mesh.t_pos_idx, codes[0], global_dict, 512
+        mesh.v_pos, mesh.t_pos_idx, codes[0], global_dict, 512
     )
     log(f"warm2 unwrap_bake: {time.perf_counter()-t0:.1f}s")
 
@@ -98,19 +97,16 @@ def main():
     from sculptmate_tpu.ops import size_bucket
 
     v_pos = np.asarray(mesh.v_pos, np.float32)
-    v_nrm = np.asarray(mesh.v_nrm, np.float32)
     faces = np.asarray(mesh.t_pos_idx)
     rot = _main_axis_rotation(v_pos)
     rp = v_pos @ rot.T
-    rn = v_nrm @ rot.T
     nv, nf = len(v_pos), len(faces)
     nb, fb_ = size_bucket(nv), size_bucket(nf)
     bb_min = rp.min(axis=0)
     bb_max = rp.max(axis=0)
     bb_rng = np.maximum(bb_max - bb_min, 1e-12)
-    attrs = np.zeros((6, nb), np.uint16)
-    attrs[0:3, :nv] = np.round((rp - bb_min) / bb_rng * 65535.0).astype(np.uint16).T
-    attrs[3:6, :nv] = np.round((np.clip(rn, -1, 1) + 1) * 0.5 * 65535.0).astype(np.uint16).T
+    attrs = np.zeros((3, nb), np.uint16)
+    attrs[:, :nv] = np.round((rp - bb_min) / bb_rng * 65535.0).astype(np.uint16).T
     fcomp = np.zeros((3, fb_), np.int32)
     fcomp[:, :nf] = faces.T
     rm_bbox_rot = np.concatenate([
@@ -121,10 +117,10 @@ def main():
         bb_min.astype(np.float32), bb_max.astype(np.float32),
         rot.astype(np.float32).reshape(-1),
     ])
-    packed = np.empty(6 * nb + 6 * fb_ + 38, np.uint16)
-    packed[: 6 * nb] = attrs.reshape(-1)
-    packed[6 * nb : 6 * nb + 3 * fb_] = (fcomp & 0xFFFF).astype(np.uint16).reshape(-1)
-    packed[6 * nb + 3 * fb_ : 6 * nb + 6 * fb_] = (fcomp >> 16).astype(np.uint16).reshape(-1)
+    packed = np.empty(3 * nb + 6 * fb_ + 38, np.uint16)
+    packed[: 3 * nb] = attrs.reshape(-1)
+    packed[3 * nb : 3 * nb + 3 * fb_] = (fcomp & 0xFFFF).astype(np.uint16).reshape(-1)
+    packed[3 * nb + 3 * fb_ : 3 * nb + 6 * fb_] = (fcomp >> 16).astype(np.uint16).reshape(-1)
     bits = rm_bbox_rot.astype(np.float32).view(np.uint32)
     packed[-38:-4:2] = (bits & 0xFFFF).astype(np.uint16)
     packed[-37:-4:2] = (bits >> 16).astype(np.uint16)

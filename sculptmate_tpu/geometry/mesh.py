@@ -237,7 +237,7 @@ class Mesh:
             # flat per-corner UVs directly — the dedup'd (unique, index)
             # form is API parity only; this method re-flattens anyway
             uv_flat_direct, _ = unwrap_device(
-                self.v_pos, self.v_nrm, self.t_pos_idx, island_padding,
+                self.v_pos, self.t_pos_idx, island_padding,
                 return_flat=True,
             )
             uv, indices = None, None

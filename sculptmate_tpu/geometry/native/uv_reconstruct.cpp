@@ -3,12 +3,14 @@
 //
 // C++ twin of uv_unwrap_device.reconstruct_uvs_host (the numpy reference
 // implementation, kept for tests): mirrors uv_unwrap_device._unwrap_core's
-// uv math — box assignment, slice rotation, atlas placement — in f32 with
-// the same operation order. All cross-face reductions here are min/max (and
-// one argmax), which are accumulation-order independent, so results agree
-// with the device program to fp ulps; the order-dependent tangent means
-// arrive precomputed as ca6/sa6. Replaces a 12 B/face D2H section (~9.4 MB
-// at 786K faces on a 14-115 MB/s tunneled link) with ~10 ms of host work.
+// uv math — box projection, slice rotation, atlas placement — in f32 with
+// the same operation order. The face's axis pick rides the wire as
+// atlas % 6 (class = atlas / 6), so nothing normal-dependent is recomputed
+// here; all cross-face reductions are min/max, which are accumulation-order
+// independent, so results agree with the device program to fp ulps; the
+// order-dependent tangent means arrive precomputed as ca6/sa6. Replaces a
+// 12 B/face D2H section (~9.4 MB at 786K faces on a 14-115 MB/s tunneled
+// link) with ~10 ms of host work.
 //
 // Reference provenance: the atlas layout/rules follow the reference
 // sf3d/uv_unwrapper/unwrap.py:86-116,384-503 (see geometry/uv_unwrap.py).
@@ -38,9 +40,8 @@ static inline float clip01(float v) {
 
 extern "C" void reconstruct_uvs(
     const float* rp,       // (nv, 3) dequantized rotated positions
-    const float* rn,       // (nv, 3) dequantized normals
     const int32_t* faces,  // (nf, 3)
-    const uint8_t* atlas,  // (nf,) atlas_index 0..12
+    const uint8_t* atlas,  // (nf,) atlas_index = axis pick + 6 * class, 0..17
     const float* ca6,      // (6,) per-slice rotation cos
     const float* sa6,      // (6,) per-slice rotation sin
     int64_t nv, int64_t nf, float pad,
@@ -67,26 +68,17 @@ extern "C" void reconstruct_uvs(
   std::vector<uint8_t> index(nf);
   std::vector<float> pick_ax(3 * nf), pick_ua(3 * nf), pick_va(3 * nf);
 
-  // pass 1: box assignment per face + mdd (per-corner-slot max of |axis|)
+  // pass 1: box projection per face (axis pick from the wire) + mdd
+  // (per-corner-slot max of |axis|)
   float mdd[3] = {-INFINITY, -INFINITY, -INFINITY};
   for (int64_t f = 0; f < nf; ++f) {
     float tri[3][3];  // [corner][axis] normalized coords
-    float fnrm[3] = {0.0f, 0.0f, 0.0f};
     for (int c = 0; c < 3; ++c) {
       int32_t vi = faces[3 * f + c];
-      for (int d = 0; d < 3; ++d) {
+      for (int d = 0; d < 3; ++d)
         tri[c][d] = 2.0f * (rp[3 * vi + d] - bb_min[d]) / rng[d] - 1.0f;
-        fnrm[d] += rn[3 * vi + d];
-      }
     }
-    float len = std::sqrt(fnrm[0] * fnrm[0] + fnrm[1] * fnrm[1] +
-                          fnrm[2] * fnrm[2]);
-    float inv = 1.0f / (len > 1e-6f ? len : 1e-6f);
-    float n0 = fnrm[0] * inv, n1 = fnrm[1] * inv, n2 = fnrm[2] * inv;
-    float scores[6] = {n0, -n0, n1, -n1, n2, -n2};
-    int best = 0;
-    for (int g = 1; g < 6; ++g)
-      if (scores[g] > scores[best]) best = g;  // first max wins, like argmax
+    int best = atlas[f] % 6;  // the device's argmax, shipped in the wire
     index[f] = (uint8_t)best;
     const int* r = RULES[best];
     for (int c = 0; c < 3; ++c) {
@@ -190,7 +182,10 @@ extern "C" void reconstruct_uvs(
     }
     float off_x, off_y, div_x, div_y;
     int block = ai / 6;
-    float xv = x_vals[ai % 6], yv = y_vals[ai % 6];
+    // pool faces (class 2) carry their axis pick in ai % 6 — their cell
+    // offset is the fixed pool quadrant, not a per-slice cell
+    float xv = ai >= 12 ? 0.0f : x_vals[ai % 6];
+    float yv = ai >= 12 ? 0.0f : y_vals[ai % 6];
     if (block == 0) {
       off_x = off * xv;
       off_y = off * yv;

@@ -81,7 +81,16 @@ def _main_axis_rotation(v_pos: np.ndarray) -> np.ndarray:
     axes = [None] * 3
     for a, i in zip((main_axis, second, third), idxs):
         axes[i] = a
-    return np.stack(axes, axis=1).T.astype(np.float32)
+    rot = np.stack(axes, axis=1).T.astype(np.float32)
+    # force a PROPER rotation (det +1): eigh's arbitrary eigenvector signs
+    # and the axis-slot permutation can yield a reflection, under which
+    # cross products flip relative to rotated vectors — the device unwrap
+    # derives geometric face normals in the rotated frame and needs the
+    # winding orientation preserved (the reference's randomized PCA basis
+    # is orientation-arbitrary too, so flipping one axis is free)
+    if float(np.linalg.det(rot.astype(np.float64))) < 0.0:
+        rot[2] = -rot[2]
+    return rot
 
 
 def _box_assign(v_pos, v_nrm, faces):

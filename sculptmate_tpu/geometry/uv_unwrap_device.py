@@ -5,7 +5,8 @@ Device counterpart of ``uv_unwrap.py`` (which mirrors the reference
 assignment, slice rotation, overlap resolution, atlas packing — is
 embarrassingly parallel over faces, exactly what the single weak host core
 is worst at (measured 4-12 s at 741K faces, run-to-run noisy) and the TPU
-is best at. One H2D upload (positions + normals), ONE jit, one compact
+is best at. One H2D upload (positions only — the box-assignment normal is
+the geometric cross product of the corner positions), ONE jit, one compact
 u16 D2H download; the host keeps only the 3x3 PCA rotation and the final
 UV dedup sort.
 
@@ -33,7 +34,7 @@ from sculptmate_tpu.geometry.texture_bake import (
     default_multi_capacity,
     default_pair2_capacity,
 )
-from sculptmate_tpu.geometry.uv_unwrap import _FACE_RULES, _align_with_main_axis
+from sculptmate_tpu.geometry.uv_unwrap import _FACE_RULES
 
 RASTER_RES = 1024  # 4x4 grid of slice cells, 256^2 each
 _CELL_INSET = 0.05  # keep bary-margin coverage inside each slice cell
@@ -108,7 +109,7 @@ def _depth_round(
 
 
 def _unwrap_core(
-    px, py, pz, nx, ny, nz, fa, fb, fc, n_verts, n_faces, island_padding,
+    px, py, pz, fa, fb, fc, n_verts, n_faces, island_padding,
     pair_caps,
 ):
     """All per-face unwrap math on device. Inputs are padded/bucketed flat
@@ -116,10 +117,21 @@ def _unwrap_core(
     (uv6 (6, F) uint16 — rows [u0, v0, u1, v1, u2, v2], one per corner
     component — atlas_index (F,), counters, angles (2, 6) f32 = per-slice
     rotation cos/sin rows: with them (plus atlas_index) the HOST can rebuild
-    the per-corner UVs bit-comparably from the same quantized inputs
-    (``reconstruct_uvs_host``) — every other reduction in here is a
-    min/max/argmax (order-independent, so numpy reproduces it exactly);
-    only these two mean-of-tangents sums are accumulation-order-dependent.
+    the per-corner UVs bit-comparably from the same quantized POSITIONS
+    (``reconstruct_uvs_host``) — atlas_index carries the face's axis pick
+    (``index = atlas_index % 6``) so the host never re-derives it (no
+    fp-tie hazard on the argmax), every reduction the host replays is a
+    min/max (order-independent, so numpy reproduces it exactly), and the
+    two order-dependent mean-of-tangents sums ship as the angles.
+
+    Vertex NORMALS are not consumed: the box-assignment normal is the
+    geometric cross product of the (dequantized) corner positions — saving
+    the 3 normal rows of the u16 upload (~20% of its bytes) and the 3
+    per-corner normal takes (element gathers are the program's costliest
+    op class) vs the corner-averaged vertex-normal estimator. The axis
+    pick differs only for faces whose averaged and geometric normals
+    straddle a diagonal — a measure-zero band where either choice is
+    equally arbitrary.
 
     Everything per-face lives in flat (F,) SoA arrays (per-corner lists):
     an (F, 3) f32 array inherits a (8, 128)-tiled HBM layout — a 42x pad
@@ -149,18 +161,26 @@ def _unwrap_core(
     # one (3, Nv) take per corner instead of 9+9 per-row element gathers
     # (row-stacked takes measured ~3x faster on v5e)
     st_p = jnp.stack(vp)  # (3, Nv)
-    st_n = jnp.stack([nx, ny, nz])
     tri_st = [jnp.take(st_p, f, axis=1) for f in (fa, fb, fc)]  # 3 x (3, F)
-    nrm_st = [jnp.take(st_n, f, axis=1) for f in (fa, fb, fc)]
     tri = [
         [tri_st[c][d] for d in range(3)] for c in range(3)
     ]  # [corner][axis] -> (F,)
-    nrm_c = [[nrm_st[c][d] for d in range(3)] for c in range(3)]
+    # geometric face normal from the already-gathered corners: vp is an
+    # anisotropic rescale of the rotated positions, so recover raw-space
+    # edge vectors (d_raw = d_vp * rng / 2 — linear) before the cross
+    half_rng = [rngs[d] * 0.5 for d in range(3)]
+    e1 = [(tri[1][d] - tri[0][d]) * half_rng[d] for d in range(3)]
+    e2 = [(tri[2][d] - tri[0][d]) * half_rng[d] for d in range(3)]
+    # e1 x e2 is the OUTWARD normal under this repo's winding (MC/MT
+    # "normals away from the inside", Mesh._compute_vertex_normal) — valid
+    # because _main_axis_rotation guarantees a PROPER rotation (det +1)
     face_n = [
-        nrm_c[0][d] + nrm_c[1][d] + nrm_c[2][d] for d in range(3)
+        e1[1] * e2[2] - e1[2] * e2[1],
+        e1[2] * e2[0] - e1[0] * e2[2],
+        e1[0] * e2[1] - e1[1] * e2[0],
     ]
     fn_len = jnp.sqrt(sum(c * c for c in face_n))
-    face_n = [c / jnp.maximum(fn_len, 1e-6) for c in face_n]
+    face_n = [c / jnp.maximum(fn_len, 1e-12) for c in face_n]
 
     # argmax over the 6 signed axes
     scores = jnp.stack(
@@ -219,16 +239,26 @@ def _unwrap_core(
     tlen = jnp.sqrt(sum(t * t for t in tv_f))
     tv_f = [t / jnp.maximum(tlen, 1e-12) for t in tv_f]
 
-    # expected tangent: cross(n, cross(pos_rot, n)) with pos_rot=(-y, x, 0)
-    prx, pry, prz = -py, px, jnp.zeros_like(pz)
-    cx_ = pry * nz - prz * ny
-    cy_ = prz * nx - prx * nz
-    cz_ = prx * ny - pry * nx
-    ex = ny * cz_ - nz * cy_
-    ey = nz * cx_ - nx * cz_
-    ez = nx * cy_ - ny * cx_
-    elen = jnp.sqrt(ex * ex + ey * ey + ez * ez)
-    ex, ey, ez = (c / jnp.maximum(elen, 1e-12) for c in (ex, ey, ez))
+    # expected tangent: cross(n, cross(pos_rot, n)) with pos_rot=(-y, x, 0),
+    # evaluated per CORNER with the face normal (the per-vertex-normal field
+    # needed a third (3, F) corner take; corner raw positions recover
+    # linearly from the vp gathers already in hand)
+    def expected_tangent(corner):
+        praw = [
+            (tri[corner][d] + 1.0) * half_rng[d] + bb_min[d] for d in range(3)
+        ]
+        prx, pry = -praw[1], praw[0]  # pos_rot z component is 0
+        nx_, ny_, nz_ = face_n
+        cx_ = pry * nz_
+        cy_ = -prx * nz_
+        cz_ = prx * ny_ - pry * nx_
+        ex = ny_ * cz_ - nz_ * cy_
+        ey = nz_ * cx_ - nx_ * cz_
+        ez = nx_ * cy_ - ny_ * cx_
+        elen = jnp.sqrt(ex * ex + ey * ey + ez * ez)
+        return [c / jnp.maximum(elen, 1e-12) for c in (ex, ey, ez)]
+
+    e_c = [expected_tangent(c) for c in range(3)]  # [corner][axis] -> (F,)
 
     # per-slice mean of actual (face-level) / expected (corner-mean) tangents
     def slice_mean(vals):  # (F,) -> (6,)
@@ -240,8 +270,6 @@ def _unwrap_core(
         return jnp.stack(outs)
 
     am = [slice_mean(t) for t in tv_f]  # 3 x (6,)
-    st_e = jnp.stack([ex, ey, ez])
-    e_c = [jnp.take(st_e, f, axis=1) for f in (fa, fb, fc)]  # 3 x (3, F)
     em = [
         slice_mean((e_c[0][d] + e_c[1][d] + e_c[2][d]) / 3.0) for d in range(3)
     ]
@@ -291,8 +319,13 @@ def _unwrap_core(
     vis2, fine2, coarse2, nm2 = _depth_round(
         uc, vc, index, depth, demoted, pair_caps
     )
+    # atlas byte = index + 6 * visibility class (0 = first round, 1 = second,
+    # 2 = individual-square pool): the HOST decodes the axis pick as
+    # atlas % 6 instead of re-deriving the face-normal argmax — pool faces
+    # (class 2) need their index for the box projection too, and shipping it
+    # removes the only cross-implementation fp-tie hazard
     atlas_index = jnp.where(
-        vis1, index, jnp.where(vis2, index + 6, 12)
+        vis1, index, jnp.where(vis2, index + 6, index + 12)
     )
     atlas_index = jnp.where(fvalid, atlas_index, 0)
 
@@ -302,8 +335,10 @@ def _unwrap_core(
     x_vals = jnp.asarray([0, 1, 2, 0, 1, 2], jnp.float32)
     y_vals = jnp.asarray([0, 0, 0, 1, 1, 1], jnp.float32)
     block = atlas_index // 6
-    xv = x_vals[atlas_index % 6]
-    yv = y_vals[atlas_index % 6]
+    # pool faces (class 2) keep their index in atlas % 6 now — their cell
+    # offset is the fixed pool quadrant, not a per-slice cell
+    xv = jnp.where(atlas_index >= 12, 0.0, x_vals[atlas_index % 6])
+    yv = jnp.where(atlas_index >= 12, 0.0, y_vals[atlas_index % 6])
     offset_x = jnp.where(
         block == 0, off * xv,
         dupl_off * xv + jnp.minimum(block - 1, 1).astype(jnp.float32) * 0.5,
@@ -395,7 +430,7 @@ def _unwrap_core(
 
 
 _unwrap_jit = jax.jit(
-    _unwrap_core, static_argnums=(11, 12),
+    _unwrap_core, static_argnums=(8, 9),
 )
 
 
@@ -409,7 +444,6 @@ def _load_reconstruct():
 
 def reconstruct_uvs_host(
     rp: np.ndarray,
-    rn: np.ndarray,
     faces: np.ndarray,
     atlas_index: np.ndarray,
     ca6: np.ndarray,
@@ -419,18 +453,18 @@ def reconstruct_uvs_host(
     """Rebuild the per-corner atlas UVs from the compact unwrap wire.
 
     Numpy mirror of ``_unwrap_core``'s uv math (same op order, f32
-    throughout): the raster-derived visibility classes arrive as
-    ``atlas_index`` and the two order-dependent tangent-mean reductions as
-    ``ca6``/``sa6``; every other reduction is a min/max/argmax, which numpy
-    reproduces exactly from the same inputs. ``rp``/``rn`` must be the
-    DEQUANTIZED (Nv, 3) rotated positions/normals — bit-identical f32 values
-    to what the device program decoded from the u16 upload — so the
+    throughout): the face's axis pick AND visibility class arrive as
+    ``atlas_index`` (``index = atlas % 6``, class = ``atlas // 6`` — the
+    host re-derives NOTHING normal-dependent) and the two order-dependent
+    tangent-mean reductions as ``ca6``/``sa6``; every other reduction is a
+    min/max, which numpy reproduces exactly from the same inputs. ``rp``
+    must be the DEQUANTIZED (Nv, 3) rotated positions — bit-identical f32
+    values to what the device program decoded from the u16 upload — so the
     reconstruction lands within ~1 ulp-chain of the device's pre-quantized
     uvs (far below both the wire's former u16 quantization step 1/65535 and
     a 512^2 bake texel). Returns (F, 3, 2) float32.
     """
     rp = np.asarray(rp, np.float32)
-    rn = np.asarray(rn, np.float32)
     faces = np.asarray(faces)
     atlas_index = np.asarray(atlas_index, np.int32)
     F = len(faces)
@@ -443,7 +477,6 @@ def reconstruct_uvs_host(
 
         out = np.empty((F, 3, 2), np.float32)
         rp_c = np.ascontiguousarray(rp, np.float32)
-        rn_c = np.ascontiguousarray(rn, np.float32)
         f_c = np.ascontiguousarray(faces, np.int32)
         a_c = np.ascontiguousarray(atlas_index, np.uint8)
         ca_c = np.ascontiguousarray(ca6, np.float32)
@@ -451,7 +484,6 @@ def reconstruct_uvs_host(
         fp = ctypes.POINTER(ctypes.c_float)
         lib.reconstruct_uvs(
             rp_c.ctypes.data_as(fp),
-            rn_c.ctypes.data_as(fp),
             f_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             a_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             ca_c.ctypes.data_as(fp),
@@ -463,12 +495,12 @@ def reconstruct_uvs_host(
         )
         return out
     return reconstruct_uvs_numpy(
-        rp, rn, faces, atlas_index, ca6, sa6, island_padding
+        rp, faces, atlas_index, ca6, sa6, island_padding
     )
 
 
 def reconstruct_uvs_numpy(
-    rp, rn, faces, atlas_index, ca6, sa6, island_padding
+    rp, faces, atlas_index, ca6, sa6, island_padding
 ):
     """Pure-numpy reference for ``reconstruct_uvs_host`` (tests compare the
     native kernel against this)."""
@@ -483,19 +515,9 @@ def reconstruct_uvs_numpy(
     vp = np.float32(2.0) * (rp - bb_min) / rngs - one  # (Nv, 3)
 
     tri = vp[faces]  # (F, 3corner, 3axis)
-    nrm_tri = rn[faces]
-    face_n = nrm_tri[:, 0] + nrm_tri[:, 1] + nrm_tri[:, 2]  # (F, 3)
-    fn_len = np.sqrt((face_n * face_n).sum(-1))
-    face_n = face_n / np.maximum(fn_len, np.float32(1e-6))[:, None]
-
-    scores = np.stack(
-        [
-            face_n[:, 0], -face_n[:, 0],
-            face_n[:, 1], -face_n[:, 1],
-            face_n[:, 2], -face_n[:, 2],
-        ]
-    )  # (6, F)
-    index = np.argmax(scores, axis=0).astype(np.int32)
+    # the axis pick rides the wire (atlas % 6) — nothing normal-dependent
+    # is recomputed here
+    index = (atlas_index % 6).astype(np.int32)
 
     rules = np.asarray(_FACE_RULES, np.int32)
     ax_f = rules[index, 0]
@@ -547,8 +569,8 @@ def reconstruct_uvs_numpy(
     x_vals = np.asarray([0, 1, 2, 0, 1, 2], np.float32)
     y_vals = np.asarray([0, 0, 0, 1, 1, 1], np.float32)
     block = atlas_index // 6
-    xv = x_vals[atlas_index % 6]
-    yv = y_vals[atlas_index % 6]
+    xv = np.where(atlas_index >= 12, np.float32(0.0), x_vals[atlas_index % 6])
+    yv = np.where(atlas_index >= 12, np.float32(0.0), y_vals[atlas_index % 6])
     offset_x = np.where(
         block == 0, off * xv,
         dupl_off * xv + np.minimum(block - 1, 1).astype(np.float32) * np.float32(0.5),
@@ -636,13 +658,14 @@ def _bucket(n: int, lo: int = 4096) -> int:
 
 def unwrap_device(
     v_pos: np.ndarray,
-    v_nrm: np.ndarray,
     faces: np.ndarray,
     island_padding: float = 0.02,
     return_flat: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Device unwrap. Same contract as ``uv_unwrap.unwrap``:
-    returns (unique_uv (U, 2) f32, vtex_idx (F, 3)).
+    """Device unwrap. Same contract as ``uv_unwrap.unwrap`` (which also
+    takes vertex normals — the device path derives geometric face normals
+    from the positions instead, see ``_unwrap_core``): returns
+    (unique_uv (U, 2) f32, vtex_idx (F, 3)).
 
     ``return_flat=True`` skips the UV dedup (a 3F-element host sort, the
     slowest remaining host step) and returns the per-corner UVs directly as
@@ -653,20 +676,18 @@ def unwrap_device(
     )
 
     v_pos = np.asarray(v_pos, np.float32)
-    v_nrm = np.asarray(v_nrm, np.float32)
     faces = np.asarray(faces, np.int64)
 
     # host: PCA rotation only (3x3), applied before upload
-    v_pos, v_nrm = _align_with_main_axis(v_pos, v_nrm)
+    from sculptmate_tpu.geometry.uv_unwrap import _main_axis_rotation
+
+    v_pos = v_pos @ _main_axis_rotation(v_pos).T
 
     Nv, F = len(v_pos), len(faces)
     nb, fb_ = _bucket(Nv), _bucket(F)
     pos = np.zeros((3, nb), np.float32)
     pos[:, :Nv] = v_pos.T
     pos[:, Nv:] = v_pos[0][:, None] if Nv else 0.0
-    nrm = np.zeros((3, nb), np.float32)
-    nrm[:, :Nv] = v_nrm.T
-    nrm[:, Nv:] = v_nrm[0][:, None] if Nv else 0.0
     fcomp = np.zeros((3, fb_), np.int32)
     fcomp[:, :F] = faces.T
 
@@ -677,7 +698,6 @@ def unwrap_device(
     while True:
         uv_q, atlas_index, counters, _angles = _unwrap_jit(
             *(jnp.asarray(pos[c]) for c in range(3)),
-            *(jnp.asarray(nrm[c]) for c in range(3)),
             jnp.asarray(fcomp[0]), jnp.asarray(fcomp[1]), jnp.asarray(fcomp[2]),
             Nv, F, float(island_padding),
             (pair_cap, pair2_cap, multi_cap),

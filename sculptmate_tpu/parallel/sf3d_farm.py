@@ -273,15 +273,25 @@ class SF3DFarm:
             )
             verts = lverts * (2 * c.radius) - c.radius
             vertex_count = round(factor * nv)
+            v_nrm = None
             if vertex_count < len(verts):
-                verts, faces, v_nrm = decimate(
-                    verts, faces, target_ratio=vertex_count / len(verts),
-                    return_normals=True,
-                )
-            else:
+                # the fused unwrap+bake consumes no vertex normals (geometric
+                # face normals on device); the no-texture path still wants
+                # them, and they ride the native compaction stream for free
+                if enable_texture:
+                    verts, faces = decimate(
+                        verts, faces, target_ratio=vertex_count / len(verts)
+                    )
+                else:
+                    verts, faces, v_nrm = decimate(
+                        verts, faces, target_ratio=vertex_count / len(verts),
+                        return_normals=True,
+                    )
+            elif not enable_texture:
                 v_nrm = vertex_normals(verts, faces)
             mesh = TriMesh(verts, faces.astype(np.int64))
-            mesh._v_nrm = v_nrm
+            if v_nrm is not None:
+                mesh._v_nrm = v_nrm
             return mesh
 
         def finish(entry):
@@ -317,7 +327,7 @@ class SF3DFarm:
             if mesh is not None and enable_texture:
                 global_i = {k: v[i] for k, v in est_np.items()}
                 handle = sf3d.unwrap_bake_async(
-                    mesh.v_pos, mesh.v_nrm, mesh.t_pos_idx, codes[i],
+                    mesh.v_pos, mesh.t_pos_idx, codes[i],
                     global_i, bake_resolution,
                 )
             if prev is not None:

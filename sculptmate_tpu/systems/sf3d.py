@@ -516,6 +516,12 @@ class SF3D:
         # pre-weld vertices (nv) so welding doesn't shrink the reference's
         # target; the weld usually covers most of the 'high' reduction and
         # the quadric decimator mops up the remainder.
+        import jax as _jax
+
+        use_fused = enable_texture and (
+            fused if fused is not None else _jax.default_backend() != "cpu"
+        )
+
         factor = {"high": 0.75, "med": 0.4, "medium": 0.4, "low": 0.1}.get(
             vertex_simplification_factor, 0.75
         )
@@ -526,27 +532,31 @@ class SF3D:
 
             with stage("decimate"):
                 # straight from the decoder's i32 faces (no Mesh/int64
-                # round trip); vertex normals come out of the native
-                # compaction stream for free
-                verts, faces, v_nrm = decimate(
-                    verts, faces, target_ratio=vertex_count / len(verts),
-                    return_normals=True,
-                )
-        elif remesh == "triangle":
+                # round trip); on the non-fused path vertex normals come out
+                # of the native compaction stream for free — the fused
+                # device unwrap+bake consumes none (geometric face normals
+                # on device, per-face duplication afterwards), so it skips
+                # even that
+                if use_fused:
+                    verts, faces = decimate(
+                        verts, faces, target_ratio=vertex_count / len(verts)
+                    )
+                else:
+                    verts, faces, v_nrm = decimate(
+                        verts, faces, target_ratio=vertex_count / len(verts),
+                        return_normals=True,
+                    )
+        elif remesh == "triangle" and not use_fused:
             from sculptmate_tpu.geometry.decimate import vertex_normals
 
             with stage("decimate"):
-                # weld already reached the budget: normals only
+                # weld already reached the budget: normals only (the fused
+                # path skips this whole bincount pass)
                 v_nrm = vertex_normals(verts, faces)
         mesh = Mesh(verts, faces.astype(np.int64))
         if v_nrm is not None:
             mesh._v_nrm = v_nrm
 
-        import jax as _jax
-
-        use_fused = enable_texture and (
-            fused if fused is not None else _jax.default_backend() != "cpu"
-        )
         if use_fused:
             # unwrap + bake as ONE device program (one upload, one compact
             # uint8 fetch) — the staged path pays ~2x the transfers plus two
@@ -557,7 +567,7 @@ class SF3D:
 
                 _prof = bool(_os.environ.get("SCULPTMATE_BAKE_PROFILE"))
                 uv_flat, textures = self.unwrap_bake(
-                    mesh.v_pos, mesh.v_nrm, mesh.t_pos_idx, scene_codes[0],
+                    mesh.v_pos, mesh.t_pos_idx, scene_codes[0],
                     global_dict, bake_resolution,
                 )
                 _t0 = _t.perf_counter()
@@ -765,10 +775,12 @@ class SF3D:
 
         ``packed_u16`` layout (``nb``/``fbk`` = size-bucketed vertex/face
         counts, static):
-          [0 : 6*nb]           attrs (6, nb) — PCA-ROTATED positions
-                               quantized over their bbox (rows 0-2) + vertex
-                               normals quantized over [-1, 1] (rows 3-5)
-          [6*nb : 6*nb+6*fbk]  faces (6, fbk) — rows 0-2 = lo16 of fa/fb/fc,
+          [0 : 3*nb]           attrs (3, nb) — PCA-ROTATED positions
+                               quantized over their bbox (vertex normals do
+                               NOT ride the wire: the unwrap derives the
+                               geometric face normal from these positions,
+                               see ``uv_unwrap_device._unwrap_core``)
+          [3*nb : 3*nb+6*fbk]  faces (6, fbk) — rows 0-2 = lo16 of fa/fb/fc,
                                rows 3-5 = hi16 (arithmetic recombine, no
                                bitcast -> no denormal hazard)
           [-38 : -4]           17 f32 [roughness, metallic, bbox_min(3),
@@ -795,14 +807,14 @@ class SF3D:
         from sculptmate_tpu.geometry.uv_unwrap_device import _unwrap_core
 
         res = bake_resolution
-        attrs_u16 = packed_u16[: 6 * nb].reshape(6, nb)
-        fsec = packed_u16[6 * nb : 6 * nb + 6 * fbk].reshape(6, fbk).astype(
+        attrs_u16 = packed_u16[: 3 * nb].reshape(3, nb)
+        fsec = packed_u16[3 * nb : 3 * nb + 6 * fbk].reshape(6, fbk).astype(
             jnp.int32
         )
         fa = fsec[0] | (fsec[3] << 16)
         fb = fsec[1] | (fsec[4] << 16)
         fc = fsec[2] | (fsec[5] << 16)
-        meta = packed_u16[6 * nb + 6 * fbk :].astype(jnp.uint32)
+        meta = packed_u16[3 * nb + 6 * fbk :].astype(jnp.uint32)
         rm_bbox_rot = jax.lax.bitcast_convert_type(
             meta[0:34:2] | (meta[1:34:2] << 16), jnp.float32
         )
@@ -818,13 +830,9 @@ class SF3D:
             attrs_u16[c].astype(jnp.float32) * scale[c] + bb_min[c]
             for c in range(3)
         ]  # rotated positions, 3 x (Nv,)
-        nrm = [
-            attrs_u16[3 + c].astype(jnp.float32) / 65535.0 * 2.0 - 1.0
-            for c in range(3)
-        ]
 
         uv6, atlas_index, unwrap_counters, angles = _unwrap_core(
-            rp[0], rp[1], rp[2], nrm[0], nrm[1], nrm[2], fa, fb, fc,
+            rp[0], rp[1], rp[2], fa, fb, fc,
             n_verts, n_faces, island_padding, caps[:3],
         )  # (6, Fb) uint16 rows [u0, v0, u1, v1, u2, v2] (device-local)
 
@@ -884,7 +892,6 @@ class SF3D:
     def unwrap_bake(
         self,
         v_pos: np.ndarray,
-        v_nrm: np.ndarray,
         faces: np.ndarray,
         scene_code,
         global_dict,
@@ -894,10 +901,14 @@ class SF3D:
         """Fused device unwrap + bake for a (non-duplicated) mesh. Returns
         (uv_flat (F, 3, 2) f32, texture dict as in ``bake_textures``). ONE
         u16-quantized upload, ONE uint8 fetch; raster capacity overflows are
-        detected from the wire counters and retried, never truncated."""
+        detected from the wire counters and retried, never truncated.
+
+        Vertex normals are not needed: the device unwrap derives geometric
+        face normals from the quantized positions, and the bake derives its
+        own per-face normals/tangents."""
         return self.unwrap_bake_wait(
             self.unwrap_bake_async(
-                v_pos, v_nrm, faces, scene_code, global_dict,
+                v_pos, faces, scene_code, global_dict,
                 bake_resolution, island_padding,
             )
         )
@@ -905,7 +916,6 @@ class SF3D:
     def unwrap_bake_async(
         self,
         v_pos: np.ndarray,
-        v_nrm: np.ndarray,
         faces: np.ndarray,
         scene_code,
         global_dict,
@@ -935,13 +945,11 @@ class SF3D:
         t0 = _time.perf_counter()
 
         v_pos = np.asarray(v_pos, np.float32)
-        v_nrm = np.asarray(v_nrm, np.float32)
         faces = np.asarray(faces)
         # host keeps only the 3x3 PCA rotation; rotated = v @ rot.T goes up
         # quantized, world positions are recovered on device via rot
         rot = _main_axis_rotation(v_pos)
         rp = v_pos @ rot.T
-        rn = v_nrm @ rot.T
 
         nv, nf = len(v_pos), len(faces)
         nb, fb_ = size_bucket(nv), size_bucket(nf)
@@ -949,13 +957,10 @@ class SF3D:
         bb_min = rp.min(axis=0) if nv else np.zeros(3, np.float32)
         bb_max = rp.max(axis=0) if nv else np.ones(3, np.float32)
         bb_rng = np.maximum(bb_max - bb_min, 1e-12)
-        attrs = np.zeros((6, nb), np.uint16)
-        attrs[0:3, :nv] = np.round((rp - bb_min) / bb_rng * 65535.0).astype(
+        attrs = np.zeros((3, nb), np.uint16)
+        attrs[:, :nv] = np.round((rp - bb_min) / bb_rng * 65535.0).astype(
             np.uint16
         ).T
-        attrs[3:6, :nv] = np.round(
-            (np.clip(rn, -1.0, 1.0) + 1.0) * 0.5 * 65535.0
-        ).astype(np.uint16).T
 
         fcomp = np.zeros((3, fb_), np.int32)
         fcomp[:, :nf] = faces.T
@@ -1014,12 +1019,12 @@ class SF3D:
         # ONE u16 upload: attrs + lo/hi-split faces + bit-split f32 metadata
         # + counts (each separate device_put pays the tunnel's fluctuating
         # 30-500 ms latency; this used to be 7 transfers)
-        packed = np.empty(6 * nb + 6 * fb_ + 38, np.uint16)
-        packed[: 6 * nb] = attrs.reshape(-1)
-        packed[6 * nb : 6 * nb + 3 * fb_] = (
+        packed = np.empty(3 * nb + 6 * fb_ + 38, np.uint16)
+        packed[: 3 * nb] = attrs.reshape(-1)
+        packed[3 * nb : 3 * nb + 3 * fb_] = (
             (fcomp & 0xFFFF).astype(np.uint16).reshape(-1)
         )
-        packed[6 * nb + 3 * fb_ : 6 * nb + 6 * fb_] = (
+        packed[3 * nb + 3 * fb_ : 3 * nb + 6 * fb_] = (
             (fcomp >> 16).astype(np.uint16).reshape(-1)
         )
         bits = rm_bbox_rot.astype(np.float32).view(np.uint32)
@@ -1173,13 +1178,8 @@ class SF3D:
             attrs[0:3, :nv].astype(np.float32) * scale[:, None]
             + bb_min[:, None]
         ).T
-        rn = (
-            attrs[3:6, :nv].astype(np.float32) / np.float32(65535.0)
-            * np.float32(2.0)
-            - np.float32(1.0)
-        ).T
         uv_flat = reconstruct_uvs_host(
-            rp, rn, handle.host_faces, atlas_index,
+            rp, handle.host_faces, atlas_index,
             angles[:6], angles[6:], handle.island_padding,
         )  # (F, 3, 2) f32
         rm_b = tail[24:28].astype(np.uint32)

@@ -72,7 +72,7 @@ def test_device_unwrap_matches_host_semantics():
 
     mesh = _sphere(16)
     uv_h, idx_h = unwrap(mesh.v_pos, mesh.v_nrm, mesh.t_pos_idx)
-    uv_d, idx_d = unwrap_device(mesh.v_pos, mesh.v_nrm, mesh.t_pos_idx)
+    uv_d, idx_d = unwrap_device(mesh.v_pos, mesh.t_pos_idx)
 
     assert idx_d.shape == mesh.t_pos_idx.shape
     assert uv_d.min() >= 0.0 and uv_d.max() <= 1.0
@@ -103,7 +103,7 @@ def test_host_uv_reconstruction_matches_device():
     )
 
     mesh = _sphere(16)
-    v_pos, v_nrm, faces = mesh.v_pos, mesh.v_nrm, mesh.t_pos_idx
+    v_pos, faces = mesh.v_pos, mesh.t_pos_idx
     nv, nf = len(v_pos), len(faces)
 
     # quantize/dequantize exactly like SF3D.unwrap_bake_async/_unwrap_bake_jit
@@ -111,15 +111,8 @@ def test_host_uv_reconstruction_matches_device():
     bb_max = v_pos.max(0).astype(np.float32)
     rng_ = np.maximum(bb_max - bb_min, 1e-12).astype(np.float32)
     q_pos = np.round((v_pos - bb_min) / rng_ * 65535.0).astype(np.uint16)
-    q_nrm = np.round((np.clip(v_nrm, -1, 1) + 1.0) * 0.5 * 65535.0).astype(
-        np.uint16
-    )
     scale = ((bb_max - bb_min) / np.float32(65535.0)).astype(np.float32)
     rp = (q_pos.astype(np.float32) * scale + bb_min).astype(np.float32)
-    rn = (
-        q_nrm.astype(np.float32) / np.float32(65535.0) * np.float32(2.0)
-        - np.float32(1.0)
-    )
 
     pair_cap = 1 << 16
     caps = (
@@ -130,7 +123,6 @@ def test_host_uv_reconstruction_matches_device():
     pad = 0.02
     uv6, atlas_index, counters, angles = _unwrap_jit(
         *(jnp.asarray(rp.T[c]) for c in range(3)),
-        *(jnp.asarray(rn.T[c]) for c in range(3)),
         jnp.asarray(faces.T[0].astype(np.int32)),
         jnp.asarray(faces.T[1].astype(np.int32)),
         jnp.asarray(faces.T[2].astype(np.int32)),
@@ -138,13 +130,16 @@ def test_host_uv_reconstruction_matches_device():
     )
     fine, coarse, nmulti = (int(x) for x in np.asarray(counters))
     assert fine <= caps[0] and coarse <= caps[1] and nmulti <= caps[2]
+    # the atlas byte carries the axis pick in % 6 and the class in // 6
+    atlas_np = np.asarray(atlas_index)[:nf]
+    assert atlas_np.min() >= 0 and atlas_np.max() < 18
 
     uv_dev = (
         np.asarray(uv6).T.reshape(-1, 3, 2)[:nf].astype(np.float32) / 65535.0
     )
     ang = np.asarray(angles)
     uv_host = reconstruct_uvs_host(
-        rp, rn, faces, np.asarray(atlas_index)[:nf], ang[0], ang[1], pad
+        rp, faces, atlas_np, ang[0], ang[1], pad
     )
     assert uv_host.shape == (nf, 3, 2)
     assert uv_host.min() >= 0.0 and uv_host.max() <= 1.0
@@ -171,16 +166,16 @@ def test_native_uv_reconstruction_matches_numpy():
     rng = np.random.default_rng(7)
     mesh = _sphere(16)
     rp = mesh.v_pos.astype(np.float32)
-    rn = mesh.v_nrm.astype(np.float32)
     faces = mesh.t_pos_idx.astype(np.int32)
     nf = len(faces)
-    # synthetic atlas classes covering 0..12 (incl. empty overlap slices)
-    atlas = (rng.integers(0, 13, nf)).astype(np.int32)
+    # synthetic atlas bytes covering all classes x indices (0..17, incl.
+    # empty overlap slices)
+    atlas = (rng.integers(0, 18, nf)).astype(np.int32)
     ang = rng.uniform(-0.2, 0.2, 6).astype(np.float32)
     ca6 = np.cos(ang).astype(np.float32)
     sa6 = np.sin(ang).astype(np.float32)
 
-    got = reconstruct_uvs_host(rp, rn, faces, atlas, ca6, sa6, 0.02)
-    ref = reconstruct_uvs_numpy(rp, rn, faces, atlas, ca6, sa6, 0.02)
+    got = reconstruct_uvs_host(rp, faces, atlas, ca6, sa6, 0.02)
+    ref = reconstruct_uvs_numpy(rp, faces, atlas, ca6, sa6, 0.02)
     np.testing.assert_allclose(got, ref, atol=2e-6)
     assert got.min() >= 0.0 and got.max() <= 1.0
