@@ -117,10 +117,11 @@ def main():
         bb_min.astype(np.float32), bb_max.astype(np.float32),
         rot.astype(np.float32).reshape(-1),
     ])
-    packed = np.empty(3 * nb + 6 * fb_ + 38, np.uint16)
+    packed = np.empty(3 * nb + 4 * fb_ + 38, np.uint16)
     packed[: 3 * nb] = attrs.reshape(-1)
     packed[3 * nb : 3 * nb + 3 * fb_] = (fcomp & 0xFFFF).astype(np.uint16).reshape(-1)
-    packed[3 * nb + 3 * fb_ : 3 * nb + 6 * fb_] = (fcomp >> 16).astype(np.uint16).reshape(-1)
+    hi = (fcomp >> 16).astype(np.uint16)
+    packed[3 * nb + 3 * fb_ : 3 * nb + 4 * fb_] = hi[0] | (hi[1] << 5) | (hi[2] << 10)
     bits = rm_bbox_rot.astype(np.float32).view(np.uint32)
     packed[-38:-4:2] = (bits & 0xFFFF).astype(np.uint16)
     packed[-37:-4:2] = (bits >> 16).astype(np.uint16)

@@ -94,7 +94,10 @@ def _depth_round(
         dmax = jnp.max(jnp.where(m, depth, -jnp.inf))
         dmin = jnp.min(jnp.where(m, depth, jnp.inf))
         eps_slice.append(0.02 * jnp.maximum(dmax - dmin, 1e-6))
-    eps = jnp.stack(eps_slice)[jnp.clip(slice_of, 0, 5)]
+    oh = (
+        slice_of[:, None] == jnp.arange(6, dtype=jnp.int32)[None, :]
+    ).astype(jnp.float32)
+    eps = oh @ jnp.stack(eps_slice)  # exact one-hot lookup, no gather
 
     cen_u = warp((uc[0] + uc[1] + uc[2]) / 3.0, gx)
     cen_v = warp((vc[0] + vc[1] + vc[2]) / 3.0, gy)
@@ -188,16 +191,30 @@ def _unwrap_core(
     )  # (6, F)
     index = jnp.argmax(scores, axis=0).astype(jnp.int32)  # (F,)
 
-    rules = jnp.asarray(np.asarray(_FACE_RULES, np.int32))  # (6, 6)
-    ax_f = rules[index, 0]
-    sgn_f = rules[index, 1].astype(jnp.float32)
-    ua_f = rules[index, 2]
-    us_f = rules[index, 3].astype(jnp.float32)
-    va_f = rules[index, 4]
-    vs_f = rules[index, 5].astype(jnp.float32)
+    # ALL per-face table lookups are one-hot f32 matmuls (EXACT: a one-hot
+    # row has a single 1.0, so the contraction has one nonzero term — no
+    # summation-order effects), and corner-component picks are 3-way selects:
+    # an element gather of (F,) costs ~20 ms at 786K faces on v5e (the
+    # take_along_axis/table-index formulation spent ~250 ms here — it was
+    # the entire unwrap core's hot spot), while the select/one-hot forms are
+    # pure vector-unit bandwidth.
+    onehot6 = (
+        index[:, None] == jnp.arange(6, dtype=jnp.int32)[None, :]
+    ).astype(jnp.float32)  # (F, 6), reused by every per-face lookup below
+    rules_f = jnp.asarray(np.asarray(_FACE_RULES, np.float32))  # (6, 6)
+    rlv = onehot6 @ rules_f  # (F, 6) exact small ints
+    ax_f = rlv[:, 0].astype(jnp.int32)
+    sgn_f = rlv[:, 1]
+    ua_f = rlv[:, 2].astype(jnp.int32)
+    us_f = rlv[:, 3]
+    va_f = rlv[:, 4].astype(jnp.int32)
+    vs_f = rlv[:, 5]
 
     def pick(corner, axis_idx):
-        return jnp.take_along_axis(tri_st[corner], axis_idx[None, :], axis=0)[0]
+        t = tri_st[corner]  # (3, F) — rows are views, selects are free
+        return jnp.where(
+            axis_idx == 0, t[0], jnp.where(axis_idx == 1, t[1], t[2])
+        )
 
     # reference quirk: normalize by the per-corner-slot max over ALL faces
     mdd = [
@@ -278,8 +295,8 @@ def _unwrap_core(
     ang = jnp.arctan2(cross2, dot)  # (6,)
     ca, sa = jnp.cos(ang), jnp.sin(ang)
 
-    ca_f = ca[jnp.clip(index, 0, 5)]
-    sa_f = sa[jnp.clip(index, 0, 5)]
+    casa = onehot6 @ jnp.stack([ca, sa], axis=1)  # (F, 2) exact lookup
+    ca_f, sa_f = casa[:, 0], casa[:, 1]
     cu = [c * 2.0 - 1.0 for c in uc]
     cv = [c * 2.0 - 1.0 for c in vc]
     ru = [ca_f * cu[c] - sa_f * cv[c] for c in range(3)]
@@ -303,8 +320,10 @@ def _unwrap_core(
                 )
             )
         )
-    lo_f = jnp.stack(lo6)[jnp.clip(index, 0, 5)]
-    hi_f = jnp.stack(hi6)[jnp.clip(index, 0, 5)]
+    lohi = onehot6 @ jnp.stack(
+        [jnp.stack(lo6), jnp.stack(hi6)], axis=1
+    )  # (F, 2) exact lookup
+    lo_f, hi_f = lohi[:, 0], lohi[:, 1]
     scale = jnp.maximum(hi_f - lo_f, 1e-12)
     uc = [(ru[c] - lo_f) / scale for c in range(3)]
     vc = [(rv[c] - lo_f) / scale for c in range(3)]
@@ -336,9 +355,11 @@ def _unwrap_core(
     y_vals = jnp.asarray([0, 0, 0, 1, 1, 1], jnp.float32)
     block = atlas_index // 6
     # pool faces (class 2) keep their index in atlas % 6 now — their cell
-    # offset is the fixed pool quadrant, not a per-slice cell
-    xv = jnp.where(atlas_index >= 12, 0.0, x_vals[atlas_index % 6])
-    yv = jnp.where(atlas_index >= 12, 0.0, y_vals[atlas_index % 6])
+    # offset is the fixed pool quadrant, not a per-slice cell. atlas % 6 ==
+    # index by construction, so the onehot6 lookup applies (exact, no gather)
+    xyv = onehot6 @ jnp.stack([x_vals, y_vals], axis=1)  # (F, 2)
+    xv = jnp.where(atlas_index >= 12, 0.0, xyv[:, 0])
+    yv = jnp.where(atlas_index >= 12, 0.0, xyv[:, 1])
     offset_x = jnp.where(
         block == 0, off * xv,
         dupl_off * xv + jnp.minimum(block - 1, 1).astype(jnp.float32) * 0.5,

@@ -780,8 +780,10 @@ class SF3D:
                                NOT ride the wire: the unwrap derives the
                                geometric face normal from these positions,
                                see ``uv_unwrap_device._unwrap_core``)
-          [3*nb : 3*nb+6*fbk]  faces (6, fbk) — rows 0-2 = lo16 of fa/fb/fc,
-                               rows 3-5 = hi16 (arithmetic recombine, no
+          [3*nb : 3*nb+4*fbk]  faces (4, fbk) — rows 0-2 = lo16 of fa/fb/fc,
+                               row 3 = the three hi words packed 5 bits each
+                               (fa_hi | fb_hi<<5 | fc_hi<<10; exact while
+                               nb <= 2^21 — arithmetic recombine, no
                                bitcast -> no denormal hazard)
           [-38 : -4]           17 f32 [roughness, metallic, bbox_min(3),
                                bbox_max(3), rot(9 row-major)] bit-split into
@@ -808,13 +810,14 @@ class SF3D:
 
         res = bake_resolution
         attrs_u16 = packed_u16[: 3 * nb].reshape(3, nb)
-        fsec = packed_u16[3 * nb : 3 * nb + 6 * fbk].reshape(6, fbk).astype(
+        fsec = packed_u16[3 * nb : 3 * nb + 4 * fbk].reshape(4, fbk).astype(
             jnp.int32
         )
-        fa = fsec[0] | (fsec[3] << 16)
-        fb = fsec[1] | (fsec[4] << 16)
-        fc = fsec[2] | (fsec[5] << 16)
-        meta = packed_u16[3 * nb + 6 * fbk :].astype(jnp.uint32)
+        hi = fsec[3]  # 3 x 5-bit hi words packed (see unwrap_bake_async)
+        fa = fsec[0] | ((hi & 0x1F) << 16)
+        fb = fsec[1] | (((hi >> 5) & 0x1F) << 16)
+        fc = fsec[2] | (((hi >> 10) & 0x1F) << 16)
+        meta = packed_u16[3 * nb + 4 * fbk :].astype(jnp.uint32)
         rm_bbox_rot = jax.lax.bitcast_convert_type(
             meta[0:34:2] | (meta[1:34:2] << 16), jnp.float32
         )
@@ -1016,16 +1019,23 @@ class SF3D:
             b_pair2 = default_pair2_capacity(bake_resolution)
 
         res = bake_resolution
-        # ONE u16 upload: attrs + lo/hi-split faces + bit-split f32 metadata
+        # ONE u16 upload: attrs + compact faces + bit-split f32 metadata
         # + counts (each separate device_put pays the tunnel's fluctuating
-        # 30-500 ms latency; this used to be 7 transfers)
-        packed = np.empty(3 * nb + 6 * fb_ + 38, np.uint16)
+        # 30-500 ms latency; this used to be 7 transfers). Faces ship as 3
+        # lo16 rows + ONE row holding all three hi words packed 5 bits each
+        # (valid while nb <= 2^21, i.e. every index < 2^21 -> hi < 32): the
+        # hi rows were 2/6 of the face section's bytes and carried <= 5 bits
+        # of information each — at 786K faces this trims ~3.1 MB off a
+        # 12.6 MB upload on a 14-115 MB/s link.
+        assert nb <= (1 << 21), "face hi-bit packing needs nv < 2^21"
+        packed = np.empty(3 * nb + 4 * fb_ + 38, np.uint16)
         packed[: 3 * nb] = attrs.reshape(-1)
         packed[3 * nb : 3 * nb + 3 * fb_] = (
             (fcomp & 0xFFFF).astype(np.uint16).reshape(-1)
         )
-        packed[3 * nb + 3 * fb_ : 3 * nb + 6 * fb_] = (
-            (fcomp >> 16).astype(np.uint16).reshape(-1)
+        hi = (fcomp >> 16).astype(np.uint16)
+        packed[3 * nb + 3 * fb_ : 3 * nb + 4 * fb_] = (
+            hi[0] | (hi[1] << 5) | (hi[2] << 10)
         )
         bits = rm_bbox_rot.astype(np.float32).view(np.uint32)
         packed[-38:-4:2] = (bits & 0xFFFF).astype(np.uint16)
